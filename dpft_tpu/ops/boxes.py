@@ -1,0 +1,86 @@
+"""Oriented 3D bounding-box geometry (corners, enclosing boxes, volumes).
+
+Jittable, batched. Parity: reference src/dprt/utils/bbox.py:4-163. Boxes are
+yaw-only (rotation around z). Corner ordering convention (reference
+bbox.py:9-28):
+
+      7------6
+     /|     /|
+    4------5 |
+    | 3----|-2
+    |/     |/
+    0------1
+
+i.e. corners 0-3 form the bottom face (CCW seen from +z), 4-7 the top face.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Unit-box corner signs for (x, y, z), matching the reference vertex order.
+_X_SIGNS = jnp.array([-1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
+_Y_SIGNS = jnp.array([-1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0])
+_Z_SIGNS = jnp.array([-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0])
+
+
+def get_box_corners(center: jnp.ndarray, size: jnp.ndarray,
+                    angle: jnp.ndarray) -> jnp.ndarray:
+    """Returns the 8 corner points of yaw-rotated 3D boxes.
+
+    Arguments:
+        center: (..., N, 3) box centers (x, y, z).
+        size: (..., N, 3) box extents (l, w, h).
+        angle: (..., N) yaw around z in radians.
+
+    Returns:
+        (..., N, 8, 3) corners in the documented vertex order.
+    """
+    half = size * 0.5
+    xc = half[..., 0:1] * _X_SIGNS  # (..., N, 8)
+    yc = half[..., 1:2] * _Y_SIGNS
+    zc = half[..., 2:3] * _Z_SIGNS
+
+    cos = jnp.cos(angle)[..., None]
+    sin = jnp.sin(angle)[..., None]
+
+    # Rotate around z: x' = c*x - s*y ; y' = s*x + c*y
+    xr = cos * xc - sin * yc
+    yr = sin * xc + cos * yc
+
+    corners = jnp.stack((xr, yr, zc), axis=-1)
+    return corners + center[..., None, :]
+
+
+def get_minimum_enclosing_box_corners(boxes1: jnp.ndarray,
+                                      boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned minimum enclosing boxes of all box pairs.
+
+    Arguments:
+        boxes1: (N, 8, 3) corners.
+        boxes2: (M, 8, 3) corners.
+
+    Returns:
+        (N, M, 8, 3) enclosing-box corners (AABB of the pair), in the same
+        vertex order convention. Parity: reference bbox.py:77-134.
+    """
+    mins1 = boxes1.min(axis=-2)  # (N, 3)
+    maxs1 = boxes1.max(axis=-2)
+    mins2 = boxes2.min(axis=-2)  # (M, 3)
+    maxs2 = boxes2.max(axis=-2)
+
+    lo = jnp.minimum(mins1[:, None, :], mins2[None, :, :])  # (N, M, 3)
+    hi = jnp.maximum(maxs1[:, None, :], maxs2[None, :, :])
+
+    x = jnp.where(_X_SIGNS > 0, hi[..., 0:1], lo[..., 0:1])  # (N, M, 8)
+    y = jnp.where(_Y_SIGNS > 0, hi[..., 1:2], lo[..., 1:2])
+    z = jnp.where(_Z_SIGNS > 0, hi[..., 2:3], lo[..., 2:3])
+    return jnp.stack((x, y, z), axis=-1)
+
+
+def get_box_volume_from_corners(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Volumes of boxes given corners (..., 8, 3) (reference bbox.py:137-163)."""
+    length = jnp.linalg.norm(boxes[..., 1, :] - boxes[..., 0, :], axis=-1)
+    width = jnp.linalg.norm(boxes[..., 3, :] - boxes[..., 0, :], axis=-1)
+    height = jnp.linalg.norm(boxes[..., 4, :] - boxes[..., 0, :], axis=-1)
+    return length * width * height

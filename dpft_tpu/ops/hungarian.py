@@ -1,0 +1,146 @@
+"""On-device linear sum assignment (Hungarian matching), jittable.
+
+Replaces the reference's host roundtrip to scipy.optimize.linear_sum_assignment
+(reference src/dprt/training/assigner.py:135-141: .cpu() -> C++ LAP solver ->
+back to device). This is a JAX implementation of the same shortest
+augmenting path algorithm (Crouse 2016, the algorithm scipy uses), so for
+problems with a unique optimum it returns the identical assignment; for ties
+it returns an assignment of identical total cost.
+
+Shapes are static: solve an (R, C) problem with R <= C. Padding rows with a
+constant cost is safe - a constant-cost row shifts every completion's total
+by the same amount, so the restriction of the optimal assignment to the real
+rows stays optimal.
+
+A `jax.pure_callback` scipy fallback is provided for bring-up / testing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = jnp.inf
+
+
+@partial(jax.jit, static_argnames=())
+def solve(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solves min-cost assignment for cost (R, C) with R <= C.
+
+    Returns:
+        col4row: (R,) int32, the column assigned to each row.
+    """
+    R, C = cost.shape
+    if R > C:
+        raise ValueError(f"solve() requires R <= C, got ({R}, {C})")
+
+    cost = cost.astype(jnp.float32)
+
+    def augment_row(cur_row, state):
+        u, v, col4row, row4col = state
+
+        # --- Dijkstra from cur_row until an unassigned column is reached.
+        def dij_cond(s):
+            _, _, _, _, _, _, sink = s
+            return sink < 0
+
+        def dij_body(s):
+            shortest, path, sr, sc, i, min_val, _ = s
+            sr = sr.at[i].set(True)
+            reduced = min_val + cost[i] - u[i] - v  # (C,)
+            better = (reduced < shortest) & (~sc)
+            shortest = jnp.where(better, reduced, shortest)
+            path = jnp.where(better, i, path)
+
+            masked = jnp.where(sc, _INF, shortest)
+            j = jnp.argmin(masked)
+            min_val = masked[j]
+            sc = sc.at[j].set(True)
+
+            unassigned = row4col[j] < 0
+            sink = jnp.where(unassigned, j, -1)
+            i = jnp.where(unassigned, i, row4col[j])
+            return shortest, path, sr, sc, i, min_val, sink
+
+        init = (
+            jnp.full((C,), _INF, jnp.float32),   # shortest path costs
+            jnp.full((C,), -1, jnp.int32),       # predecessor rows
+            jnp.zeros((R,), bool),               # scanned rows
+            jnp.zeros((C,), bool),               # scanned columns
+            cur_row,
+            jnp.float32(0.0),
+            jnp.int32(-1),
+        )
+        shortest, path, sr, sc, _, min_val, sink = jax.lax.while_loop(
+            dij_cond, dij_body, init
+        )
+
+        # --- Update dual potentials.
+        u = u.at[cur_row].add(min_val)
+        other = sr & (jnp.arange(R) != cur_row)
+        assigned_cols = jnp.clip(col4row, 0, C - 1)
+        u = u + jnp.where(other, min_val - shortest[assigned_cols], 0.0)
+        v = v - jnp.where(sc, min_val - shortest, 0.0)
+
+        # --- Augment along the alternating path ending at `sink`.
+        def aug_cond(s):
+            _, _, _, done = s
+            return ~done
+
+        def aug_body(s):
+            j, c4r, r4c, _ = s
+            i = path[j]
+            r4c = r4c.at[j].set(i)
+            prev = c4r[i]
+            c4r = c4r.at[i].set(j)
+            done = i == cur_row
+            j = jnp.where(done, j, prev)
+            return j, c4r, r4c, done
+
+        _, col4row, row4col, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (sink, col4row, row4col, jnp.bool_(False))
+        )
+        return u, v, col4row, row4col
+
+    init = (
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((C,), jnp.float32),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.full((C,), -1, jnp.int32),
+    )
+    _, _, col4row, _ = jax.lax.fori_loop(0, R, augment_row, init)
+    return col4row
+
+
+def assign(cost_qt: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DETR-style matching: cost (N_queries, M_targets) -> (index_i, index_j).
+
+    Matches reference assigner.py:138-143 output semantics: index_i are the
+    selected query indices in ascending order, index_j the corresponding
+    target indices. M must be <= N. Works under vmap.
+    """
+    col4row = solve(cost_qt.T)          # (M,): query assigned to each target
+    order = jnp.argsort(col4row)        # targets sorted by query index
+    index_i = col4row[order]
+    index_j = order.astype(jnp.int32)
+    return index_i, index_j
+
+
+def assign_scipy(cost_qt: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-callback fallback using scipy (identical contract to assign)."""
+    from scipy.optimize import linear_sum_assignment
+
+    def _host(c):
+        i, j = linear_sum_assignment(np.asarray(c))
+        return i.astype(np.int32), j.astype(np.int32)
+
+    m = cost_qt.shape[-1]
+    result_shapes = (
+        jax.ShapeDtypeStruct((m,), jnp.int32),
+        jax.ShapeDtypeStruct((m,), jnp.int32),
+    )
+    return jax.pure_callback(_host, result_shapes, cost_qt, vmap_method="sequential")

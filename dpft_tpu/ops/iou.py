@@ -1,0 +1,230 @@
+"""Exact oriented-3D-box IoU / GIoU, jittable (pytorch3d replacement).
+
+DPFT boxes are yaw-only (rotated around z, reference bbox.py:59-67), so the
+exact 3D overlap of two boxes factorizes into (rotated-rectangle
+intersection area in the xy-plane) x (z-interval overlap). The rectangle
+intersection is computed with fully static shapes so the whole pipeline
+lowers to XLA: 24 candidate points (4+4 contained vertices + 16 edge-edge
+intersections), angle-sorted around their centroid, shoelace area over the
+valid prefix.
+
+Semantics parity with reference src/dprt/utils/iou.py:9-210, including:
+ - invalid (degenerate / non-coplanar / zero-area-face) boxes are masked,
+   yielding iou 0 and giou -1 for any pair involving them;
+ - giou of *valid but non-overlapping* pairs is exactly -1, because the
+   reference computes union = vol/iou only where iou != 0 (iou.py:185-186),
+   so giou = 0 - (evol - 0)/evol = -1. This quirk is part of the training
+   signal and is reproduced deliberately.
+
+All functions operate on unbatched (N, 8, 3) corner sets; use jax.vmap for
+batching (the reference is only ever called with B == 1 per sample).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dpft_tpu.ops import boxes as bbox
+
+_EPS = 1e-4  # validity-check tolerance (parity with reference iou.py:9,39)
+_GEOM_EPS = 1e-9  # geometric predicate tolerance
+
+# Box faces as quadruples of corner indices (reference iou.py:11-18).
+_BOX_PLANES = jnp.array([
+    [0, 1, 2, 3],
+    [3, 2, 6, 7],
+    [0, 1, 5, 4],
+    [0, 3, 7, 4],
+    [1, 2, 6, 5],
+    [4, 5, 6, 7],
+])
+
+# Box faces as triangles (reference iou.py:44-57).
+_BOX_TRIANGLES = jnp.array([
+    [0, 1, 2], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+    [1, 5, 6], [1, 6, 2], [0, 4, 7], [0, 7, 3],
+    [3, 2, 6], [3, 6, 7], [0, 1, 5], [0, 4, 5],
+])
+
+
+def _normalize(v: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, 1e-12)
+
+
+def check_coplanar(corners: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
+    """True where all 6 faces of each box are planar. corners: (N, 8, 3)."""
+    verts = corners[:, _BOX_PLANES]  # (N, 6, 4, 3)
+    v0, v1, v2, v3 = (verts[:, :, i] for i in range(4))
+    e0 = _normalize(v1 - v0)
+    e1 = _normalize(v2 - v0)
+    normal = _normalize(jnp.cross(e0, e1))
+    dist = jnp.abs(jnp.sum((v3 - v0) * normal, axis=-1))  # (N, 6)
+    return jnp.all(dist < eps, axis=-1)
+
+
+def check_nonzero(corners: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
+    """True where all 12 triangular faces have non-zero area. (N, 8, 3)."""
+    verts = corners[:, _BOX_TRIANGLES]  # (N, 12, 3, 3)
+    v0, v1, v2 = (verts[:, :, i] for i in range(3))
+    normals = jnp.cross(v1 - v0, v2 - v0)
+    areas = jnp.linalg.norm(normals, axis=-1) / 2.0  # (N, 12)
+    return jnp.all(areas > eps, axis=-1)
+
+
+def box_validity(corners: jnp.ndarray) -> jnp.ndarray:
+    """Combined validity mask (nonzero AND coplanar), (N,) bool."""
+    return jnp.logical_and(check_nonzero(corners), check_coplanar(corners))
+
+
+def _orient_ccw(quad: jnp.ndarray) -> jnp.ndarray:
+    """Orients a (4, 2) quad counter-clockwise (flips if negative area)."""
+    rolled = jnp.roll(quad, -1, axis=0)
+    signed = jnp.sum(quad[:, 0] * rolled[:, 1] - rolled[:, 0] * quad[:, 1])
+    return jnp.where(signed < 0, quad[::-1], quad)
+
+
+def _points_in_quad(pts: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
+    """Inside test for points (K, 2) against a CCW convex quad (4, 2)."""
+    a = quad  # (4, 2)
+    b = jnp.roll(quad, -1, axis=0)
+    edge = b - a  # (4, 2)
+    rel = pts[:, None, :] - a[None, :, :]  # (K, 4, 2)
+    cross = edge[None, :, 0] * rel[..., 1] - edge[None, :, 1] * rel[..., 0]
+    return jnp.all(cross >= -_GEOM_EPS, axis=-1)
+
+
+def _edge_intersections(p: jnp.ndarray, q: jnp.ndarray):
+    """All 16 edge-pair intersection points of two quads (4, 2).
+
+    Returns (pts (16, 2), valid (16,)).
+    """
+    p1 = jnp.repeat(p, 4, axis=0)                      # (16, 2)
+    p2 = jnp.repeat(jnp.roll(p, -1, axis=0), 4, axis=0)
+    q1 = jnp.tile(q, (4, 1))
+    q2 = jnp.tile(jnp.roll(q, -1, axis=0), (4, 1))
+
+    d1 = p2 - p1
+    d2 = q2 - q1
+    denom = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    safe = jnp.where(jnp.abs(denom) < _GEOM_EPS, 1.0, denom)
+    rel = q1 - p1
+    t = (rel[:, 0] * d2[:, 1] - rel[:, 1] * d2[:, 0]) / safe
+    u = (rel[:, 0] * d1[:, 1] - rel[:, 1] * d1[:, 0]) / safe
+    valid = (jnp.abs(denom) >= _GEOM_EPS) \
+        & (t >= -_GEOM_EPS) & (t <= 1.0 + _GEOM_EPS) \
+        & (u >= -_GEOM_EPS) & (u <= 1.0 + _GEOM_EPS)
+    pts = p1 + t[:, None] * d1
+    return pts, valid
+
+
+def quad_intersection_area(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Intersection area of two convex quads (4, 2) each. Static shapes.
+
+    Collects the <= 24 boundary candidates of the intersection polygon,
+    orders the valid ones by angle around their centroid, and applies the
+    shoelace formula over the valid prefix.
+    """
+    p = _orient_ccw(p)
+    q = _orient_ccw(q)
+
+    inter_pts, inter_valid = _edge_intersections(p, q)
+    cand = jnp.concatenate([p, q, inter_pts], axis=0)          # (24, 2)
+    valid = jnp.concatenate([
+        _points_in_quad(p, q),
+        _points_in_quad(q, p),
+        inter_valid,
+    ])
+
+    n = jnp.sum(valid)
+    wsum = jnp.sum(jnp.where(valid[:, None], cand, 0.0), axis=0)
+    centroid = wsum / jnp.maximum(n, 1)
+    centered = cand - centroid
+
+    ang = jnp.arctan2(centered[:, 1], centered[:, 0])
+    ang = jnp.where(valid, ang, jnp.inf)  # invalid points sort to the end
+    order = jnp.argsort(ang)
+    ring = centered[order]                                      # (24, 2)
+
+    idx = jnp.arange(cand.shape[0])
+    nxt = jnp.where(idx == n - 1, 0, idx + 1)
+    nxt_pts = ring[nxt]
+    contrib = ring[:, 0] * nxt_pts[:, 1] - nxt_pts[:, 0] * ring[:, 1]
+    area = 0.5 * jnp.sum(jnp.where(idx < n, contrib, 0.0))
+    return jnp.where(n >= 3, jnp.abs(area), 0.0)
+
+
+def _pairwise_intersection_volume(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
+    """Exact intersection volumes for yaw boxes. c1: (N, 8, 3), c2: (M, 8, 3)."""
+    quads1 = c1[:, :4, :2]  # bottom faces (N, 4, 2)
+    quads2 = c2[:, :4, :2]
+    z1_lo, z1_hi = c1[..., 2].min(-1), c1[..., 2].max(-1)  # (N,)
+    z2_lo, z2_hi = c2[..., 2].min(-1), c2[..., 2].max(-1)  # (M,)
+
+    area = jax.vmap(
+        lambda a: jax.vmap(lambda b: quad_intersection_area(a, b))(quads2)
+    )(quads1)  # (N, M)
+
+    dz = jnp.maximum(
+        jnp.minimum(z1_hi[:, None], z2_hi[None, :])
+        - jnp.maximum(z1_lo[:, None], z2_lo[None, :]),
+        0.0,
+    )
+    return area * dz
+
+
+def iou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
+    """Exact IoU between yaw-box corner sets (N, 8, 3) x (M, 8, 3) -> (N, M).
+
+    Pairs involving invalid boxes get IoU 0 (reference iou.py:94-118).
+    """
+    inter = _pairwise_intersection_volume(corners1, corners2)
+    v1 = bbox.get_box_volume_from_corners(corners1)  # (N,)
+    v2 = bbox.get_box_volume_from_corners(corners2)  # (M,)
+    union = v1[:, None] + v2[None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-12)
+
+    valid = jnp.logical_and(
+        box_validity(corners1)[:, None], box_validity(corners2)[None, :]
+    )
+    return jnp.where(valid, iou, 0.0)
+
+
+def giou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
+    """Generalized IoU (N, 8, 3) x (M, 8, 3) -> (N, M), reference parity.
+
+    giou = iou - (evol - union*) / evol where evol is the axis-aligned
+    enclosing-box volume and union* is the union only where the pair
+    overlaps (0 otherwise) -- reproducing reference iou.py:185-208, which
+    yields -1 for valid non-overlapping pairs and -1 for invalid pairs.
+    """
+    inter = _pairwise_intersection_volume(corners1, corners2)
+    v1 = bbox.get_box_volume_from_corners(corners1)
+    v2 = bbox.get_box_volume_from_corners(corners2)
+    union = v1[:, None] + v2[None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-12)
+
+    valid = jnp.logical_and(
+        box_validity(corners1)[:, None], box_validity(corners2)[None, :]
+    )
+    iou = jnp.where(valid, iou, 0.0)
+    union_eff = jnp.where(iou != 0, union, 0.0)
+
+    enclosing = bbox.get_minimum_enclosing_box_corners(corners1, corners2)
+    evol = bbox.get_box_volume_from_corners(enclosing)  # (N, M)
+    evol_safe = jnp.where(evol == 0, 1.0, evol)
+
+    giou = iou - (evol - union_eff) / evol_safe
+    giou = jnp.where(evol == 0, 0.0, giou)
+    return jnp.where(valid, giou, -1.0)
+
+
+def iou3d_batched(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
+    """Batched IoU (B, N, 8, 3) x (B, M, 8, 3) -> (B, N, M)."""
+    return jax.vmap(iou3d)(corners1, corners2)
+
+
+def giou3d_batched(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
+    """Batched GIoU (B, N, 8, 3) x (B, M, 8, 3) -> (B, N, M)."""
+    return jax.vmap(giou3d)(corners1, corners2)

@@ -1,0 +1,58 @@
+"""Tests for misc utilities (endpoint interp parity, seeding, config IO)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dpft_tpu.utils import misc
+from dpft_tpu.utils.config import load_config, loads_config, save_config
+
+
+def np_reference_interp(x, xp, fp, left=None, right=None):
+    """Direct numpy transliteration of the reference endpoint interp."""
+    x0, x1, y0, y1 = xp[0], xp[-1], fp[0], fp[-1]
+    left = left if left is not None else y0
+    right = right if right is not None else y1
+    if np.isclose(x1 - x0, 0):
+        y = np.zeros_like(x)
+    else:
+        y = y0 + (x - x0) * (y1 - y0) / (x1 - x0)
+    y = np.where(x < x0, left, y)
+    y = np.where(x > x1, right, y)
+    return y
+
+
+def test_interp_endpoint_semantics(rng):
+    xp = np.sort(rng.uniform(0, 1, size=20)).astype(np.float32)
+    fp = rng.uniform(0, 1, size=20).astype(np.float32)
+    x = np.linspace(-0.2, 1.2, 101).astype(np.float32)
+    want = np_reference_interp(x, xp, fp, right=0.0)
+    got = np.asarray(misc.interp(jnp.array(x), jnp.array(xp), jnp.array(fp),
+                                 right=0.0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_interp_degenerate_zero_span():
+    xp = jnp.array([0.5, 0.5])
+    fp = jnp.array([1.0, 2.0])
+    x = jnp.array([0.5])
+    assert float(misc.interp(x, xp, fp)[0]) == 0.0
+
+
+def test_as_list():
+    assert misc.as_list(1) == [1]
+    assert misc.as_list([1, 2]) == [1, 2]
+    assert misc.as_list((1, 2)) == [1, 2]
+
+
+def test_set_seed_returns_key():
+    key = misc.set_seed(42)
+    assert key is not None
+    assert misc.set_seed(None) is None
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = {"a": 1, "nested": {"b": [1, 2, 3]}}
+    path = str(tmp_path / "sub" / "config.json")
+    save_config(cfg, path)
+    assert load_config(path) == cfg
+    assert loads_config('{"x": 2}') == {"x": 2}
