@@ -1,0 +1,60 @@
+"""Optimizer factory mapping torch.optim names to optax transforms.
+
+Parity: reference src/dprt/training/optimizer.py:6-7 dispatches by name and
+splats the config into the torch constructor; this maps the same names and
+hyperparameters (with torch default values) onto optax.
+
+The learning rate is injected as a schedule callable so epoch-based
+schedulers (dpft_tpu.training.scheduler) compose exactly like torch's
+optimizer + scheduler pairing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Union
+
+import optax
+
+ScalarOrSchedule = Union[float, Callable[[int], float]]
+
+
+def build_optimizer(name: str, **config: Any) -> Callable[[ScalarOrSchedule], optax.GradientTransformation]:
+    """Returns a factory: learning_rate (float or schedule) -> optax tx."""
+    lname = name.lower()
+
+    def factory(learning_rate: ScalarOrSchedule) -> optax.GradientTransformation:
+        if lname == "adamw":
+            betas = config.get("betas", (0.9, 0.999))
+            return optax.adamw(
+                learning_rate,
+                b1=betas[0], b2=betas[1],
+                eps=config.get("eps", 1e-8),
+                weight_decay=config.get("weight_decay", 1e-2),  # torch default
+            )
+        if lname == "adam":
+            betas = config.get("betas", (0.9, 0.999))
+            return optax.adam(
+                learning_rate, b1=betas[0], b2=betas[1],
+                eps=config.get("eps", 1e-8),
+            )
+        if lname == "sgd":
+            return optax.sgd(
+                learning_rate,
+                momentum=config.get("momentum", 0.0) or None,
+                nesterov=config.get("nesterov", False),
+            )
+        if lname == "rmsprop":
+            return optax.rmsprop(
+                learning_rate,
+                decay=config.get("alpha", 0.99),
+                eps=config.get("eps", 1e-8),
+                momentum=config.get("momentum", 0.0),
+            )
+        if lname == "adagrad":
+            return optax.adagrad(learning_rate,
+                                 eps=config.get("eps", 1e-10))
+        raise ValueError(f"Unknown optimizer: {name}")
+
+    factory.base_lr = float(config.get("lr", 1e-3))
+    factory.name = name
+    return factory
