@@ -1,0 +1,117 @@
+"""Batched data loader: map-style dataset -> prefetched numpy batches.
+
+Replaces the reference's torch DataLoader + listed_collating
+(src/dprt/datasets/loader.py:10-44). Because targets are padded to static
+shapes by the dataset, both inputs and targets collate to plain stacked
+arrays - no ragged list-of-dicts. Sample decoding runs in a thread pool
+(cv2/numpy release the GIL) with a bounded prefetch queue so host IO
+overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Tuple
+
+import numpy as np
+
+Batch = Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]
+
+
+def _collate(samples) -> Batch:
+    inputs = {k: np.stack([s[0][k] for s in samples]) for k in samples[0][0]}
+    targets = {k: np.stack([s[1][k] for s in samples]) for k in samples[0][1]}
+    return inputs, targets
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 0, drop_last: bool = False,
+                 prefetch: int = 2, seed: int | None = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = max(1, prefetch)
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = (np.random.default_rng((self._seed, self._epoch))
+                   if self._seed is not None else np.random)
+            rng.shuffle(order)
+        self._epoch += 1
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                continue
+            batches.append(idx)
+        return batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        batches = self._batch_indices()
+
+        if self.num_workers == 0:
+            for idx in batches:
+                yield _collate([self.dataset[int(i)] for i in idx])
+            return
+
+        # Threaded prefetch: decode samples in a pool, assemble batches in
+        # submission order with a bounded queue.
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        out: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for idx in batches:
+                    if stop.is_set():
+                        return
+                    futures = [pool.submit(self.dataset.__getitem__, int(i))
+                               for i in idx]
+                    out.put(_collate([f.result() for f in futures]))
+            except BaseException as exc:  # propagate to consumer
+                out.put(exc)
+            finally:
+                out.put(None)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = out.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def load_listed(dataset, config: Dict[str, Any], drop_last: bool | None = None,
+                shuffle: bool | None = None) -> DataLoader:
+    """Builds a loader from config (reference loader.py:37-44)."""
+    train_cfg = config.get("train", {})
+    return DataLoader(
+        dataset,
+        batch_size=train_cfg.get("batch_size", 1),
+        shuffle=train_cfg.get("shuffle", False) if shuffle is None else shuffle,
+        num_workers=config.get("computing", {}).get("workers", 0),
+        drop_last=bool(drop_last) if drop_last is not None else False,
+        seed=config.get("computing", {}).get("seed"),
+    )
