@@ -1,0 +1,173 @@
+"""Evaluator: checkpoint restore, metric evaluation, export, benchmarks.
+
+Parity: reference src/dprt/evaluation/evaluator.py:19-215
+(CentralizedEvaluator): loads a checkpoint, runs the metric + exporter over
+the test loader, then measures inference latency (300 reps after 10 warm-up,
+mean/std ms) and model complexity. TPU equivalents: latency via
+block_until_ready timing of the jitted forward (instead of CUDA events);
+FLOPs/params via XLA HLO cost analysis (instead of the DeepSpeed profiler).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpft_tpu.evaluation.exporters import build as build_exporter
+from dpft_tpu.evaluation.metric import Metric, build_metric
+from dpft_tpu.models import registry as model_registry
+
+
+def _to_jnp(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+class CentralizedEvaluator:
+    def __init__(self,
+                 metric: Optional[Metric] = None,
+                 exporter=None,
+                 logging: Optional[str] = None):
+        self.eval_fn = metric
+        self.export_fn = exporter
+        self.logging = logging
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> "CentralizedEvaluator":
+        metric = build_metric(config.get("evaluate", {}))
+        exporter = None
+        if "exporter" in config.get("evaluate", {}):
+            exporter = build_exporter(
+                config["evaluate"]["exporter"]["name"], config)
+        return cls(metric=metric, exporter=exporter,
+                   logging=config.get("train", {}).get("logging"))
+
+    def __call__(self, *args, **kwargs):
+        return self.evaluate(*args, **kwargs)
+
+    @staticmethod
+    def _log_scalars(writer, scalars, step, prefix=None):
+        if writer is None:
+            return
+        prefix = f"{prefix}/" if prefix else ""
+        for name, value in scalars.items():
+            writer.add_scalar(prefix + name, float(value), step)
+
+    # ------------------------------------------------------------------
+
+    def _forward(self, model, variables):
+        @jax.jit
+        def fwd(batch):
+            return model.apply(variables, batch, train=False)
+        return fwd
+
+    def evaluate_one_epoch(self, epoch, fwd, data_loader, writer=None,
+                           dst=None) -> Dict[str, float]:
+        from tqdm import tqdm
+
+        scalars: Dict[str, float] = {}
+        n = 0
+        sample_step = 0
+        with tqdm(total=len(data_loader)) as pbar:
+            for i, (batch, targets) in enumerate(data_loader):
+                jt = _to_jnp(targets)
+                out = fwd(_to_jnp(batch))
+                metrics = self.eval_fn(out, jt) if self.eval_fn else {}
+                n += 1
+                if self.logging == "step":
+                    self._log_scalars(writer, metrics,
+                                      i + epoch * len(data_loader), "test")
+                for k, v in metrics.items():
+                    scalars[k] = scalars.get(k, 0.0) + float(v)
+                if self.export_fn is not None and dst is not None:
+                    self.export_fn(
+                        {k: np.asarray(v) for k, v in out.items()},
+                        targets, sample_step, dst)
+                sample_step += next(iter(batch.values())).shape[0]
+                pbar.update()
+
+        avg = {k: v / max(n, 1) for k, v in scalars.items()}
+        if self.logging == "epoch":
+            self._log_scalars(writer, avg, epoch, "test")
+        return avg
+
+    def evaluate_inference_time(self, epoch, fwd, data_loader, writer=None,
+                                repetitions: int = 300,
+                                warmup: int = 10) -> Dict[str, float]:
+        """Latency benchmark: blocking timing of the jitted forward."""
+        batch, _ = next(iter(data_loader))
+        batch = _to_jnp(batch)
+
+        for _ in range(warmup):
+            jax.block_until_ready(fwd(batch))
+
+        timings = np.zeros(repetitions)
+        for rep in range(repetitions):
+            start = time.perf_counter()
+            jax.block_until_ready(fwd(batch))
+            timings[rep] = (time.perf_counter() - start) * 1e3
+
+        stats = {
+            "Inference_time_mean_ms": float(timings.mean()),
+            "Inference_time_std_ms": float(timings.std(ddof=1)),
+        }
+        self._log_scalars(writer, stats, epoch, "test")
+        return stats
+
+    def evaluate_complexity(self, epoch, model, variables, data_loader,
+                            writer=None) -> Dict[str, float]:
+        """FLOPs / params via XLA cost analysis (DeepSpeed replacement)."""
+        batch, _ = next(iter(data_loader))
+        batch = _to_jnp(batch)
+
+        lowered = jax.jit(
+            lambda b: model.apply(variables, b, train=False)).lower(batch)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):  # older jax versions
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+        n_params = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(variables["params"]))
+
+        stats = {"FLOPS": flops, "Parameters": float(n_params)}
+        self._log_scalars(writer, stats, epoch, "test")
+        return stats
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self, checkpoint: str, data_loader: Iterable,
+                 dst: Optional[str] = None) -> Dict[str, float]:
+        model, variables, epoch, timestamp = model_registry.load(checkpoint)
+
+        writer = None
+        if self.logging is not None and dst is not None:
+            dst = osp.join(dst, timestamp)
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(log_dir=dst)
+
+        fwd = self._forward(model, variables)
+        metrics = self.evaluate_one_epoch(epoch, fwd, data_loader, writer,
+                                          dst)
+        latency = self.evaluate_inference_time(epoch, fwd, data_loader,
+                                               writer)
+        complexity = self.evaluate_complexity(epoch, model, variables,
+                                              data_loader, writer)
+
+        if writer is not None:
+            writer.flush()
+            writer.close()
+        return {**metrics, **latency, **complexity}
+
+
+def build_evaluator(config: Dict[str, Any]) -> CentralizedEvaluator:
+    return CentralizedEvaluator.from_config(config)
+
+
+def evaluate(config: Dict[str, Any]) -> CentralizedEvaluator:
+    return build_evaluator(config)

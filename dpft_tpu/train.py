@@ -1,0 +1,61 @@
+"""CLI: model training.
+
+Parity: reference src/dprt/train.py:14-71 - builds train/val datasets and
+loaders, builds (or restores) the model, snapshots the config next to the
+logs, and runs the trainer. Resuming from a checkpoint recovers the epoch
+and timestamp from the checkpoint name (reference train.py:47-48).
+"""
+
+import argparse
+import datetime
+import os.path as osp
+
+from dpft_tpu.data import init as init_dataset
+from dpft_tpu.data import load as load_dataset
+from dpft_tpu.models import build as build_model
+from dpft_tpu.models import registry as model_registry
+from dpft_tpu.training import train as train_model
+from dpft_tpu.utils.config import load_config, save_config
+from dpft_tpu.utils.misc import set_seed
+
+
+def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
+    timestamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")[:-3]
+    epoch = 0
+
+    config = load_config(cfg)
+    rng = set_seed(config["computing"]["seed"])
+
+    train_dataset = init_dataset(config["dataset"], src=src, split="train",
+                                 config=config)
+    train_loader = load_dataset(train_dataset, config=config)
+    val_dataset = init_dataset(config["dataset"], src=src, split="val",
+                               config=config)
+    val_loader = load_dataset(val_dataset, config=config, shuffle=False)
+
+    variables = None
+    if checkpoint is not None:
+        model, variables, epoch, timestamp = model_registry.load(checkpoint)
+        epoch += 1  # resume from the epoch after the checkpointed one
+    else:
+        model = build_model(config["model"]["name"], config)
+
+    save_config(config, osp.join(dst, timestamp, "config.json"))
+
+    trainer = train_model(config)
+    trainer(model, train_loader, val_loader, start_epoch=epoch,
+            timestamp=timestamp, dst=dst, variables=variables, rng=rng)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("DPFT training")
+    parser.add_argument("--src", type=str, default="/data/kradar/processed",
+                        help="Path to the processed dataset folder.")
+    parser.add_argument("--cfg", type=str, default="config/kradar.json",
+                        help="Path to the configuration file.")
+    parser.add_argument("--dst", type=str, default="log",
+                        help="Path to save the training log.")
+    parser.add_argument("--checkpoint", type=str,
+                        help="Checkpoint to resume training from.")
+    args = parser.parse_args()
+    main(src=args.src, cfg=args.cfg, dst=args.dst, checkpoint=args.checkpoint)

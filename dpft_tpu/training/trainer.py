@@ -1,0 +1,302 @@
+"""Data-parallel trainer: jitted train/eval steps over a device mesh.
+
+Parity surface: reference src/dprt/training/trainer.py:20-267
+(CentralizedTrainer) - epoch loop, per-step loss/metric evaluation, the
+`loss > 0` update gate (trainer.py:131-133), TensorBoard 'step'/'epoch'
+logging, per-epoch scheduler stepping and per-epoch checkpoints named
+"{timestamp}_checkpoint_{epoch:04d}".
+
+TPU-native structure: the whole step (forward, set loss with on-device
+Hungarian matching, backward, optimizer update, metrics) is one jitted XLA
+program. The batch is sharded over the mesh 'data' axis; model state is
+replicated; XLA inserts the gradient/BatchNorm all-reduces over ICI, so the
+DP step equals the single-device step on the full batch (verified in
+tests/test_trainer.py on an 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import os.path as osp
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dpft_tpu.evaluation.metric import Metric, build_metric
+from dpft_tpu.models import registry as model_registry
+from dpft_tpu.parallel import (create_mesh, data_parallel_size,
+                               data_sharding, replicated_sharding)
+from dpft_tpu.training.loss import Loss, build_loss
+from dpft_tpu.training.optimizer import build_optimizer
+from dpft_tpu.training.scheduler import as_step_schedule, build_scheduler
+
+
+def _now_timestamp() -> str:
+    return datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")[:-3]
+
+
+class CentralizedTrainer:
+    def __init__(self,
+                 epochs: int = 1,
+                 optimizer=None,
+                 loss: Optional[Loss] = None,
+                 scheduler=None,
+                 metric: Optional[Metric] = None,
+                 logging: Optional[str] = None,
+                 evaluating: int = 1,
+                 config: Optional[Dict[str, Any]] = None):
+        self.epochs = epochs
+        self.optimizer_factory = optimizer
+        self.loss_fn = loss
+        self.scheduler_factor = scheduler
+        self.metric = metric
+        self.logging = logging
+        self.evaluating = evaluating
+        self.config = config or {}
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> "CentralizedTrainer":
+        train_cfg = dict(config["train"])
+        opt_cfg = dict(train_cfg["optimizer"])
+        optimizer = build_optimizer(opt_cfg.pop("name"), **opt_cfg)
+        loss = build_loss(train_cfg)
+        sched_cfg = dict(train_cfg.get("scheduler", {"name": "ConstantLR",
+                                                     "factor": 1.0}))
+        scheduler = build_scheduler(sched_cfg.pop("name"), **sched_cfg)
+        metric = build_metric(config.get("evaluate", {}))
+        return cls(
+            epochs=train_cfg.get("epochs", 1),
+            optimizer=optimizer,
+            loss=loss,
+            scheduler=scheduler,
+            metric=metric,
+            logging=train_cfg.get("logging"),
+            config=config,
+        )
+
+    def __call__(self, *args, **kwargs):
+        return self.train(*args, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+
+    def _make_steps(self, model, tx, mesh):
+        loss_fn = self.loss_fn
+        metric = self.metric
+
+        def train_step(state, batch, targets, rng):
+            variables = {"params": state["params"]}
+            has_bn = "batch_stats" in state
+            if has_bn:
+                variables["batch_stats"] = state["batch_stats"]
+
+            def compute_loss(params):
+                vs = dict(variables, params=params)
+                out, updates = model.apply(
+                    vs, batch, train=True,
+                    mutable=["batch_stats"] if has_bn else [],
+                    rngs={"dropout": rng})
+                total, losses = loss_fn(out, targets)
+                return total, (losses, updates, out)
+
+            (total, (losses, updates, out)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(state["params"])
+
+            def apply_updates(_):
+                upd, new_opt = tx.update(grads, state["opt_state"],
+                                         state["params"])
+                return optax.apply_updates(state["params"], upd), new_opt
+
+            def skip_updates(_):
+                return state["params"], state["opt_state"]
+
+            # `loss > 0` gate (reference trainer.py:131-133).
+            new_params, new_opt_state = jax.lax.cond(
+                total > 0, apply_updates, skip_updates, None)
+
+            new_state = dict(state, params=new_params,
+                             opt_state=new_opt_state,
+                             step=state["step"] + 1)
+            if has_bn:
+                new_state["batch_stats"] = updates["batch_stats"]
+
+            metrics = metric(out, targets) if metric is not None else {}
+            return new_state, total, losses, metrics
+
+        def eval_step(state, batch, targets):
+            variables = {"params": state["params"]}
+            if "batch_stats" in state:
+                variables["batch_stats"] = state["batch_stats"]
+            out = model.apply(variables, batch, train=False)
+            total, losses = loss_fn(out, targets)
+            metrics = metric(out, targets) if metric is not None else {}
+            return total, losses, metrics
+
+        repl = replicated_sharding(mesh)
+        shard = data_sharding(mesh)
+        train_jit = jax.jit(
+            train_step,
+            in_shardings=(repl, shard, shard, repl),
+            donate_argnums=(0,),
+        )
+        eval_jit = jax.jit(eval_step, in_shardings=(repl, shard, shard))
+        return train_jit, eval_jit
+
+    # ------------------------------------------------------------------
+    # Epoch loops
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _log_scalars(writer, scalars, step, prefix=None):
+        if writer is None:
+            return
+        prefix = f"{prefix}/" if prefix else ""
+        for name, value in scalars.items():
+            writer.add_scalar(prefix + name, float(value), step)
+
+    def train(self, model, train_loader: Iterable,
+              val_loader: Optional[Iterable] = None,
+              start_epoch: int = 0, timestamp: Optional[str] = None,
+              dst: Optional[str] = None,
+              variables: Optional[Dict[str, Any]] = None,
+              rng: Optional[jax.Array] = None) -> Dict[str, Any]:
+        timestamp = timestamp or _now_timestamp()
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            self.config.get("computing", {}).get("seed") or 0)
+
+        # --- Initialize variables from the first batch if not provided.
+        first_batch, first_targets = next(iter(train_loader))
+        if variables is None:
+            init_rng, rng = jax.random.split(rng)
+            variables = model.init(init_rng, _to_jnp(first_batch),
+                                   train=False)
+
+        # --- Mesh sized to the batch (largest divisor of B over devices).
+        batch_size = next(iter(first_batch.values())).shape[0]
+        mesh = create_mesh(data=data_parallel_size(batch_size))
+
+        # --- Optimizer with the epoch-factor schedule.
+        steps_per_epoch = max(len(train_loader), 1)
+        schedule = as_step_schedule(self.scheduler_factor,
+                                    self.optimizer_factory.base_lr,
+                                    steps_per_epoch)
+        tx = self.optimizer_factory(schedule)
+
+        state = {
+            "params": variables["params"],
+            "opt_state": tx.init(variables["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if "batch_stats" in variables:
+            state["batch_stats"] = variables["batch_stats"]
+
+        train_step, eval_step = self._make_steps(model, tx, mesh)
+
+        writer = None
+        if self.logging is not None:
+            assert dst is not None
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(log_dir=osp.join(dst, timestamp))
+
+        if dst is not None:
+            os.makedirs(osp.join(dst, timestamp, "checkpoints"),
+                        exist_ok=True)
+
+        from tqdm import trange
+        tbar = trange(start_epoch, self.epochs, initial=start_epoch,
+                      total=self.epochs)
+        result = {}
+        history = []
+        host_step = start_epoch * steps_per_epoch
+        for epoch in tbar:
+            # ---- Train epoch
+            epoch_scalars: Dict[str, float] = {}
+            epoch_loss = 0.0
+            n_steps = 0
+            for i, (batch, targets) in enumerate(train_loader):
+                step_rng = jax.random.fold_in(rng, host_step)
+                host_step += 1
+                state, total, losses, metrics = train_step(
+                    state, _to_jnp(batch), _to_jnp(targets), step_rng)
+                n_steps += 1
+                epoch_loss += float(total)
+
+                scalars = {f"loss_{k}": v for k, v in losses.items()}
+                scalars["loss"] = total
+                scalars.update(metrics)
+                global_step = i + epoch * steps_per_epoch
+                if self.logging == "step":
+                    lr = float(schedule(global_step))
+                    self._log_scalars(writer, {"learning_rate": lr},
+                                      global_step, "train")
+                    self._log_scalars(writer, scalars, global_step, "train")
+                elif self.logging == "epoch":
+                    for k, v in scalars.items():
+                        epoch_scalars[k] = epoch_scalars.get(k, 0.0) + float(v)
+
+            history.append(epoch_loss / max(n_steps, 1))
+
+            if self.logging == "epoch" and n_steps:
+                avg = {k: v / n_steps for k, v in epoch_scalars.items()}
+                self._log_scalars(writer, avg, epoch, "train")
+                self._log_scalars(
+                    writer,
+                    {"learning_rate": float(schedule(epoch * steps_per_epoch))},
+                    epoch, "train")
+
+            # ---- Validation epoch
+            if val_loader is not None:
+                val_scalars: Dict[str, float] = {}
+                n_val = 0
+                for i, (batch, targets) in enumerate(val_loader):
+                    total, losses, metrics = eval_step(
+                        state, _to_jnp(batch), _to_jnp(targets))
+                    n_val += 1
+                    scalars = {f"loss_{k}": v for k, v in losses.items()}
+                    scalars["loss"] = total
+                    scalars.update(metrics)
+                    for k, v in scalars.items():
+                        val_scalars[k] = val_scalars.get(k, 0.0) + float(v)
+                if n_val:
+                    avg = {k: v / n_val for k, v in val_scalars.items()}
+                    if self.logging == "epoch":
+                        self._log_scalars(writer, avg, epoch, "val")
+                    result = {"loss": avg["loss"]}
+                    tbar.set_postfix(result, refresh=True)
+
+            # ---- Checkpoint (per epoch, reference filename contract)
+            if dst is not None:
+                ckpt = osp.join(
+                    dst, timestamp, "checkpoints",
+                    f"{timestamp}_checkpoint_{str(epoch).zfill(4)}")
+                save_vars = {"params": state["params"]}
+                if "batch_stats" in state:
+                    save_vars["batch_stats"] = state["batch_stats"]
+                model_registry.save(save_vars, self.config, ckpt)
+
+        if writer is not None:
+            writer.flush()
+            writer.close()
+
+        final = {"params": state["params"]}
+        if "batch_stats" in state:
+            final["batch_stats"] = state["batch_stats"]
+        return {"variables": final, "state": state, "timestamp": timestamp,
+                "result": result, "history": history}
+
+
+def _to_jnp(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+def build_trainer(config: Dict[str, Any]) -> CentralizedTrainer:
+    return CentralizedTrainer.from_config(config)
+
+
+def train(config: Dict[str, Any]) -> CentralizedTrainer:
+    return build_trainer(config)
