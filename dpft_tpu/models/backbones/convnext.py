@@ -93,8 +93,10 @@ class ConvNeXtBackbone(nn.Module):
 
 
 def build_convnext(name: str, config: Dict[str, Any]) -> ConvNeXtBackbone:
+    from dpft_tpu.models.layers.common import get_compute_dtype
     return ConvNeXtBackbone(
         name_variant=name.lower(),
         in_channels=config.get("in_channels", 3),
         multi_scale=config.get("multi_scale", 1),
+        dtype=get_compute_dtype(config),
     )

@@ -143,8 +143,10 @@ class RegNetBackbone(nn.Module):
 
 
 def build_regnet(name: str, config: Dict[str, Any]) -> RegNetBackbone:
+    from dpft_tpu.models.layers.common import get_compute_dtype
     return RegNetBackbone(
         name_variant=name.lower(),
         in_channels=config.get("in_channels", 3),
         multi_scale=config.get("multi_scale", 1),
+        dtype=get_compute_dtype(config),
     )

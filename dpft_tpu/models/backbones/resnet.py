@@ -164,8 +164,10 @@ class ResNetBackbone(nn.Module):
 
 
 def build_resnet(name: str, config: Dict[str, Any]) -> ResNetBackbone:
+    from dpft_tpu.models.layers.common import get_compute_dtype
     return ResNetBackbone(
         name_variant=name.lower(),
         in_channels=config.get("in_channels", 3),
         multi_scale=config.get("multi_scale", 1),
+        dtype=get_compute_dtype(config),
     )

@@ -219,8 +219,10 @@ class SwinBackbone(nn.Module):
 
 
 def build_swin(name: str, config: Dict[str, Any]) -> SwinBackbone:
+    from dpft_tpu.models.layers.common import get_compute_dtype
     return SwinBackbone(
         name_variant=name.lower(),
         in_channels=config.get("in_channels", 3),
         multi_scale=config.get("multi_scale", 1),
+        dtype=get_compute_dtype(config),
     )

@@ -50,6 +50,18 @@ _ACTIVATIONS = {
 }
 
 
+def get_compute_dtype(config) -> jnp.dtype:
+    """Resolves the compute dtype from a merged module config.
+
+    ``computing.compute_dtype`` (e.g. 'bfloat16') selects the activation /
+    matmul precision; parameters stay float32. Defaults to float32 for
+    bit-parity with the reference; bfloat16 is the TPU fast path (MXU
+    native) and is what benchmarks use.
+    """
+    name = config.get("compute_dtype") or "float32"
+    return jnp.dtype(name)
+
+
 def get_activation(name: str) -> Callable:
     """Maps a torch-style activation class name ('Mish', 'ReLU', ...) to a fn."""
     key = name.lower().replace("_", "")

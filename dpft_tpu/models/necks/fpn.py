@@ -72,7 +72,9 @@ class FPN(nn.Module):
 
 
 def build_fpn(name: str, config: Dict[str, Any]) -> FPN:
+    from dpft_tpu.models.layers.common import get_compute_dtype
     return FPN(
         in_channels_list=tuple(config["in_channels_list"]),
         out_channels=config["out_channels"],
+        dtype=get_compute_dtype(config),
     )
