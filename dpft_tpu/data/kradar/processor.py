@@ -246,11 +246,24 @@ class KRadarProcessor:
         return loadmat(filename)["arrDREA"].astype(self.dtype)
 
     def get_radar_data(self, filename: str):
-        """(ra, ea) dual-plane features; device-reduced when enabled."""
+        """(ra, ea) dual-plane features; device-reduced when enabled.
+
+        On TPU the one-pass Pallas kernel is used (K-Radar-shaped cubes);
+        other cubes or platforms fall back to the jitted XLA reduction, and
+        `use_device=False` selects the NumPy path.
+        """
         tesseract = self.get_radar_tesseract(filename)
         if self.use_device:
-            from dpft_tpu.ops.radar_reduce import reduce_tesseract
-            ra, ea = reduce_tesseract(tesseract)
+            import jax
+            D, R = tesseract.shape[:2]
+            on_tpu = jax.default_backend() not in ("cpu",)
+            if on_tpu and (D & (D - 1)) == 0 and R % 8 == 0:
+                from dpft_tpu.ops.pallas.radar_reduce import \
+                    reduce_tesseract_pallas
+                ra, ea = reduce_tesseract_pallas(tesseract)
+            else:
+                from dpft_tpu.ops.radar_reduce import reduce_tesseract
+                ra, ea = reduce_tesseract(tesseract)
             return (np.asarray(ra, dtype=self.dtype),
                     np.asarray(ea, dtype=self.dtype))
         from dpft_tpu.ops.radar_reduce import reduce_tesseract_np

@@ -79,13 +79,18 @@ def _bitonic_sort(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 def _argmax_lookup(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     """table[argmax over axis 0 of x] with first-occurrence semantics.
 
-    x: (D, ...), table: (D, 1) broadcastable over the trailing dims.
+    x: (D, ...) any rank; table: (D, 1). Avoids data reshapes (Mosaic
+    restricts vector reshapes): the table is broadcast by repeated
+    unit-dim expansion, which lowers to layout-only ops.
     """
     D = x.shape[0]
     maxval = jnp.max(x, axis=0, keepdims=True)
     iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     first = jnp.min(jnp.where(x == maxval, iota, D), axis=0, keepdims=True)
-    picked = jnp.where(iota == first, jnp.broadcast_to(table, x.shape), 0.0)
+    tb = table
+    while tb.ndim < x.ndim:
+        tb = tb[..., None]
+    picked = jnp.where(iota == first, jnp.broadcast_to(tb, x.shape), 0.0)
     return jnp.sum(picked, axis=0)
 
 
@@ -123,9 +128,7 @@ def _ra_kernel(tess_ref, raster_ref, out_ref, scratch_e):
 
     # Doppler statistics (axis 0) - argmax before any sorting.
     raster = raster_ref[...]                     # (D, 1)
-    dop_max = _argmax_lookup(
-        over_e_max.reshape(D, R_t * A), raster
-    ).reshape(R_t, A)
+    dop_max = _argmax_lookup(over_e_max, raster)  # (R_t, A)
 
     ra_rcs_max = jnp.max(over_e_max, axis=0)
     mean_d = jnp.mean(over_e_max, axis=0)
@@ -150,8 +153,8 @@ def _ra_kernel(tess_ref, raster_ref, out_ref, scratch_e):
 # ---------------------------------------------------------------------------
 
 def _ea_kernel(tess_ref, raster_ref, out_ref):
-    """One elevation slice: tess (D, R, 1, A) -> out (6, 1, A)."""
-    t = 10.0 * jnp.log10(tess_ref[...])[:, :, 0, :]   # (D, R, A)
+    """One elevation slice: tess (1, D, R, A) -> out (1, 6, A)."""
+    t = 10.0 * jnp.log10(tess_ref[...])[0]            # (D, R, A)
     D, R, A = t.shape
     lo, hi = _RANGE_CROP[0], min(_RANGE_CROP[1], R)
     n_real = hi - lo
@@ -183,11 +186,11 @@ def _ea_kernel(tess_ref, raster_ref, out_ref):
     ea_rcs_median = _median_sorted(_bitonic_sort(med_r, axis=0), 0, D)
 
     out_ref[0, 0] = ea_rcs_max
-    out_ref[1, 0] = ea_rcs_median
-    out_ref[2, 0] = ea_rcs_var
-    out_ref[3, 0] = dop_max
-    out_ref[4, 0] = dop_mean
-    out_ref[5, 0] = dop_var
+    out_ref[0, 1] = ea_rcs_median
+    out_ref[0, 2] = ea_rcs_var
+    out_ref[0, 3] = dop_max
+    out_ref[0, 4] = dop_mean
+    out_ref[0, 5] = dop_var
 
 
 # ---------------------------------------------------------------------------
@@ -235,19 +238,22 @@ def reduce_tesseract_pallas(tesseract: jnp.ndarray,
         interpret=interpret,
     )(tesseract, raster)
 
+    # EA pass: E must lead so TPU block shapes keep the last two dims
+    # full; one XLA transpose pass rearranges the cube.
+    tess_e = tesseract.transpose(2, 0, 1, 3)  # (E, D, R, A)
     ea = pl.pallas_call(
         _ea_kernel,
         grid=(E,),
         in_specs=[
-            pl.BlockSpec((D, R, 1, A), lambda e: (0, 0, e, 0),
+            pl.BlockSpec((1, D, R, A), lambda e: (e, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 1), lambda e: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((6, 1, A), lambda e: (0, e, 0),
+        out_specs=pl.BlockSpec((1, 6, A), lambda e: (e, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((6, E, A), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E, 6, A), jnp.float32),
         interpret=interpret,
-    )(tesseract, raster)
+    )(tess_e, raster)
 
-    return ra.transpose(1, 2, 0), ea.transpose(1, 2, 0)
+    return ra.transpose(1, 2, 0), ea.transpose(0, 2, 1)
