@@ -109,69 +109,88 @@ def _median_sorted(x_sorted: jnp.ndarray, axis: int,
 # RA (range-azimuth / BEV) kernel
 # ---------------------------------------------------------------------------
 
-def _ra_kernel(tess_ref, raster_ref, out_ref, scratch_e):
-    """One range-tile: tess (D, R_t, E, A) -> out (6, R_t, A)."""
+def _ra_kernel(tess_ref, raster_ref, out_ref, scratch_e, scratch_d):
+    """One range-tile: tess (D, R_t, E, A) -> out (R_t, 6, A)."""
     t = 10.0 * jnp.log10(tess_ref[...])          # (D, R_t, E, A)
     D, R_t, E, A = t.shape
 
-    # Elevation statistics (axis 2).
-    over_e_max = jnp.max(t, axis=2)              # (D, R_t, A)
+    # Elevation statistics (axis 2). The reduced tensors are round-tripped
+    # through VMEM scratch: Mosaic gives axis-2 reduction results an
+    # implicit-dim layout that the later axis-0 rolls cannot relayout
+    # directly; a store/load canonicalizes it.
+    scratch_d[0] = jnp.max(t, axis=2)            # over_e_max (D, R_t, A)
     mean_e = jnp.mean(t, axis=2)
-    var_e = jnp.mean(t * t, axis=2) - mean_e * mean_e
+    ce = t - mean_e[:, :, None, :]
+    scratch_d[1] = jnp.mean(ce * ce, axis=2)     # var_e (two-pass)
 
     # Median over elevation: pad 37 -> 64 with +inf, bitonic, take rank 18.
     scratch_e[...] = jnp.full(scratch_e.shape, _INF, jnp.float32)
     scratch_e[:, :, :E, :] = t
     sorted_e = _bitonic_sort(scratch_e[...], axis=2)
-    med_e = jax.lax.index_in_dim(sorted_e, (E - 1) // 2, 2,
-                                 keepdims=False)  # (D, R_t, A)
+    scratch_d[2] = jax.lax.index_in_dim(sorted_e, (E - 1) // 2, 2,
+                                        keepdims=False)
+
+    over_e_max = scratch_d[0]                    # (D, R_t, A)
+    var_e = scratch_d[1]
+    med_e = scratch_d[2]
 
     # Doppler statistics (axis 0) - argmax before any sorting.
     raster = raster_ref[...]                     # (D, 1)
     dop_max = _argmax_lookup(over_e_max, raster)  # (R_t, A)
 
     ra_rcs_max = jnp.max(over_e_max, axis=0)
-    mean_d = jnp.mean(over_e_max, axis=0)
-    dop_var = jnp.mean(over_e_max * over_e_max, axis=0) - mean_d * mean_d
+    cd = over_e_max - jnp.mean(over_e_max, axis=0, keepdims=True)
+    dop_var = jnp.mean(cd * cd, axis=0)
 
-    mean_v = jnp.mean(var_e, axis=0)
-    ra_rcs_var = jnp.mean(var_e * var_e, axis=0) - mean_v * mean_v
+    cv = var_e - jnp.mean(var_e, axis=0, keepdims=True)
+    ra_rcs_var = jnp.mean(cv * cv, axis=0)
 
     dop_med = _median_sorted(_bitonic_sort(over_e_max, axis=0), 0, D)
     ra_rcs_median = _median_sorted(_bitonic_sort(med_e, axis=0), 0, D)
 
-    out_ref[0] = ra_rcs_max
-    out_ref[1] = ra_rcs_median
-    out_ref[2] = ra_rcs_var
-    out_ref[3] = dop_max
-    out_ref[4] = dop_med
-    out_ref[5] = dop_var
+    out_ref[:, 0] = ra_rcs_max
+    out_ref[:, 1] = ra_rcs_median
+    out_ref[:, 2] = ra_rcs_var
+    out_ref[:, 3] = dop_max
+    out_ref[:, 4] = dop_med
+    out_ref[:, 5] = dop_var
 
 
 # ---------------------------------------------------------------------------
 # EA (elevation-azimuth / front) kernel
 # ---------------------------------------------------------------------------
 
-def _ea_kernel(tess_ref, raster_ref, out_ref):
-    """One elevation slice: tess (1, D, R, A) -> out (1, 6, A)."""
-    t = 10.0 * jnp.log10(tess_ref[...])[0]            # (D, R, A)
-    D, R, A = t.shape
+def _ea_kernel(tess_ref, raster_ref, out_ref, scratch_d):
+    """One elevation slice: tess (1, R, D, A) -> out (1, 6, A).
+
+    The cube is pre-transposed to (E, R, D, A) so the 256-long range sort
+    runs on the MAJOR axis (Mosaic crashes on >64-sublane roll networks)
+    and the doppler stats on sublanes.
+    """
+    t = 10.0 * jnp.log10(tess_ref[...])[0]            # (R, D, A)
+    R, D, A = t.shape
     lo, hi = _RANGE_CROP[0], min(_RANGE_CROP[1], R)
     n_real = hi - lo
 
-    ridx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
     valid = (ridx >= lo) & (ridx < hi)
 
-    # Range statistics (axis 1) over the cropped rows.
+    # Range statistics (axis 0) over the cropped rows; round-trip the
+    # reductions through scratch to canonicalize layouts (cf. _ra_kernel).
     t_neg = jnp.where(valid, t, -_INF)
-    over_r_max = jnp.max(t_neg, axis=1)               # (D, A)
+    scratch_d[0] = jnp.max(t_neg, axis=0)             # over_r_max (D, A)
     t_zero = jnp.where(valid, t, 0.0)
-    mean_r = jnp.sum(t_zero, axis=1) / n_real
-    var_r = jnp.sum(t_zero * t_zero, axis=1) / n_real - mean_r * mean_r
+    mean_r = jnp.sum(t_zero, axis=0) / n_real
+    cr = jnp.where(valid, t - mean_r[None], 0.0)
+    scratch_d[1] = jnp.sum(cr * cr, axis=0) / n_real  # var_r (two-pass)
 
     t_pos = jnp.where(valid, t, _INF)
-    sorted_r = _bitonic_sort(t_pos, axis=1)           # pads sort to the top
-    med_r = _median_sorted(sorted_r, 1, n_real)       # (D, A)
+    sorted_r = _bitonic_sort(t_pos, axis=0)           # pads sort to the top
+    scratch_d[2] = _median_sorted(sorted_r, 0, n_real)
+
+    over_r_max = scratch_d[0]
+    var_r = scratch_d[1]
+    med_r = scratch_d[2]
 
     # Doppler statistics (axis 0).
     raster = raster_ref[...]
@@ -179,10 +198,11 @@ def _ea_kernel(tess_ref, raster_ref, out_ref):
 
     ea_rcs_max = jnp.max(over_r_max, axis=0)
     dop_mean = jnp.mean(over_r_max, axis=0)           # reference quirk
-    dop_var = jnp.mean(over_r_max * over_r_max, axis=0) - dop_mean * dop_mean
+    cd = over_r_max - dop_mean[None]
+    dop_var = jnp.mean(cd * cd, axis=0)
 
-    mean_v = jnp.mean(var_r, axis=0)
-    ea_rcs_var = jnp.mean(var_r * var_r, axis=0) - mean_v * mean_v
+    cv = var_r - jnp.mean(var_r, axis=0, keepdims=True)
+    ea_rcs_var = jnp.mean(cv * cv, axis=0)
     ea_rcs_median = _median_sorted(_bitonic_sort(med_r, axis=0), 0, D)
 
     out_ref[0, 0] = ea_rcs_max
@@ -200,7 +220,7 @@ def _ea_kernel(tess_ref, raster_ref, out_ref):
 @partial(jax.jit, static_argnames=("interpret", "r_tile"))
 def reduce_tesseract_pallas(tesseract: jnp.ndarray,
                             interpret: bool = False,
-                            r_tile: int = 8
+                            r_tile: int = 2
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(D, R, E, A) or (F, D, R, E, A) -> (ra (.., R, A, 6), ea (.., E, A, 6)).
 
@@ -231,21 +251,25 @@ def reduce_tesseract_pallas(tesseract: jnp.ndarray,
             pl.BlockSpec((D, 1), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((6, r_tile, A), lambda r: (0, r, 0),
+        out_specs=pl.BlockSpec((r_tile, 6, A), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((6, R, A), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D, r_tile, e_pad, A), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((R, 6, A), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D, r_tile, e_pad, A), jnp.float32),
+                        pltpu.VMEM((3, D, r_tile, A), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tesseract, raster)
 
     # EA pass: E must lead so TPU block shapes keep the last two dims
-    # full; one XLA transpose pass rearranges the cube.
-    tess_e = tesseract.transpose(2, 0, 1, 3)  # (E, D, R, A)
+    # full, and R precedes D so the long sort is on the major axis; one
+    # XLA transpose pass rearranges the cube.
+    tess_e = tesseract.transpose(2, 1, 0, 3)  # (E, R, D, A)
     ea = pl.pallas_call(
         _ea_kernel,
         grid=(E,),
         in_specs=[
-            pl.BlockSpec((1, D, R, A), lambda e: (e, 0, 0, 0),
+            pl.BlockSpec((1, R, D, A), lambda e: (e, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 1), lambda e: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -253,7 +277,10 @@ def reduce_tesseract_pallas(tesseract: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 6, A), lambda e: (e, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, 6, A), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3, D, A), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tess_e, raster)
 
-    return ra.transpose(1, 2, 0), ea.transpose(0, 2, 1)
+    return ra.transpose(0, 2, 1), ea.transpose(0, 2, 1)
