@@ -34,8 +34,11 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     repetitions = int(os.environ.get("BENCH_REPS", "100"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
+    compute_dtype = os.environ.get("BENCH_DTYPE", "")  # e.g. 'bfloat16'
 
     config = load_config("config/kradar.json")
+    if compute_dtype:
+        config["computing"]["compute_dtype"] = compute_dtype
     model = build(config["model"]["name"], config)
     # Production input shapes: camera resized to shorter side 512
     # (1280x720 -> 512x910), radar planes at raster resolution.

@@ -104,29 +104,104 @@ def _sample_set_criterion(outputs: Dict[str, jnp.ndarray],
     }
 
 
+def giou_loss_boxes(inputs: jnp.ndarray, targets: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    """GIoULoss over (M, 8) boxes [x, y, z, l, w, h, sin a, cos a].
+
+    Parity: reference GIoULoss (loss.py:111-173): 1 - diag(giou3d) scaled
+    to [0, 1], summed over the masked rows.
+    """
+    from dpft_tpu.ops.boxes import get_box_corners
+    from dpft_tpu.ops.iou import giou3d
+
+    yaw = jnp.arctan2(inputs[..., 6], inputs[..., 7])
+    gt_yaw = jnp.arctan2(targets[..., 6], targets[..., 7])
+    c = get_box_corners(inputs[None, :, :3], inputs[None, :, 3:6],
+                        yaw[None])[0]
+    g = get_box_corners(targets[None, :, :3], targets[None, :, 3:6],
+                        gt_yaw[None])[0]
+    diag = jnp.diagonal(giou3d(c, g))
+    loss = (1.0 - diag) / 2.0
+    return jnp.sum(loss * mask)
+
+
+# Plain per-name loss functions for the no-assigner mode (reference
+# loss.py:532-540: losses applied directly between stacked tensors; used
+# for dense prediction tasks where N == M).
+def _plain_l1(inputs, targets, mask):
+    return jnp.sum(jnp.abs(inputs - targets) * mask[:, None])
+
+
+def _plain_mse(inputs, targets, mask):
+    return jnp.sum((inputs - targets) ** 2 * mask[:, None])
+
+
+def _plain_focal(inputs, targets, mask):
+    return jnp.sum(focal_loss(inputs, targets) * mask[:, None])
+
+
+_PLAIN_LOSSES = {
+    "L1Loss": _plain_l1,
+    "MSELoss": _plain_mse,
+    "FocalLoss": _plain_focal,
+    "GIoULoss": None,  # handled specially (consumes full box rows)
+}
+
+
 class Loss:
     """Batched set loss. Call as loss_fn(outputs, targets) -> (total, dict).
 
     outputs: dict of (B, N, *) predictions.
     targets: dict of padded (B, M, *) ground truth + gt_mask (B, M).
+
+    Two modes, mirroring the reference Loss (loss.py:376-564):
+     - with an anassigner (default): Hungarian matching + SetCriterion;
+     - without: the configured per-name losses are applied directly
+       between each prediction tensor and its gt_ counterpart (requires
+       N == M, i.e. dense targets).
     """
 
     def __init__(self,
                  loss_weights: Dict[str, float],
                  giou_weight: float = 1.0,
-                 reduction: str = "mean"):
+                 reduction: str = "mean",
+                 use_assigner: bool = True,
+                 losses: Dict[str, str] = None,
+                 loss_inputs: Dict[str, Any] = None):
         if reduction not in {"none", "mean", "sum"}:
             raise ValueError(f"Invalid reduction: {reduction}")
         self.loss_weights = dict(loss_weights)
         self.giou_weight = giou_weight
         self.reduction = reduction
+        self.use_assigner = use_assigner
+        self.losses = dict(losses or {})
+        self.loss_inputs = dict(loss_inputs or {})
+        for name in self.losses.values():
+            if name not in _PLAIN_LOSSES:
+                raise ValueError(f"Unknown loss: {name}")
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "Loss":
         return cls(
             loss_weights=config.get("loss_weights", {}),
             reduction=config.get("reduction", "mean"),
+            use_assigner="anassigner" in config,
+            losses=config.get("losses"),
+            loss_inputs=config.get("loss_inputs"),
         )
+
+    def _per_sample_plain(self, out_s, tgt_s):
+        mask = tgt_s["gt_mask"].astype(jnp.float32)
+        losses = {}
+        for name, fn_name in self.losses.items():
+            keys = self.loss_inputs.get(name, [name])
+            pred = jnp.concatenate([out_s[k] for k in keys], axis=-1)
+            gt = jnp.concatenate([tgt_s[f"gt_{k}"] for k in keys], axis=-1)
+            if fn_name == "GIoULoss":
+                losses[name] = giou_loss_boxes(pred, gt, mask)
+            else:
+                losses[name] = _PLAIN_LOSSES[fn_name](pred, gt, mask)
+        return losses
 
     def __call__(self, outputs: Dict[str, jnp.ndarray],
                  targets: Dict[str, jnp.ndarray]
@@ -135,13 +210,16 @@ class Loss:
         giou_weight = self.giou_weight
 
         def per_sample(out_s, tgt_s):
-            cost = assigner_lib.cost_matrix(out_s, tgt_s, weights,
-                                            giou_weight)
-            i, j = assigner_lib.hungarian_assign(cost)
-            losses = _sample_set_criterion(out_s, tgt_s, i, j)
+            nonempty = jnp.any(tgt_s["gt_mask"]).astype(jnp.float32)
+            if self.use_assigner:
+                cost = assigner_lib.cost_matrix(out_s, tgt_s, weights,
+                                                giou_weight)
+                i, j = assigner_lib.hungarian_assign(cost)
+                losses = _sample_set_criterion(out_s, tgt_s, i, j)
+            else:
+                losses = self._per_sample_plain(out_s, tgt_s)
             # Empty samples contribute exactly zero (reference
             # loss.py:514-519).
-            nonempty = jnp.any(tgt_s["gt_mask"]).astype(jnp.float32)
             return {
                 k: losses.get(k, jnp.float32(0.0)) * w * nonempty
                 for k, w in weights.items()

@@ -75,6 +75,7 @@ class CentralizedTrainer:
             scheduler=scheduler,
             metric=metric,
             logging=train_cfg.get("logging"),
+            evaluating=train_cfg.get("evaluating", 1),
             config=config,
         )
 
@@ -87,7 +88,9 @@ class CentralizedTrainer:
 
     def _make_steps(self, model, tx, mesh):
         loss_fn = self.loss_fn
-        metric = self.metric
+        # evaluating == -1 disables the per-step metric computation
+        # (reference trainer.py:29-37 semantics).
+        metric = None if self.evaluating == -1 else self.metric
 
         def train_step(state, batch, targets, rng):
             variables = {"params": state["params"]}
