@@ -44,12 +44,17 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
         u, v, col4row, row4col = state
 
         # --- Dijkstra from cur_row until an unassigned column is reached.
+        # The loop is explicitly bounded by C iterations (each scans one
+        # column): with finite costs it always terminates earlier, and the
+        # hard bound guarantees the device program cannot spin on
+        # pathological inputs (NaN costs would otherwise hang the chip
+        # until the watchdog kills it).
         def dij_cond(s):
-            _, _, _, _, _, _, sink = s
-            return sink < 0
+            _, _, _, _, _, _, sink, it = s
+            return (sink < 0) & (it < C)
 
         def dij_body(s):
-            shortest, path, sr, sc, i, min_val, _ = s
+            shortest, path, sr, sc, i, min_val, _, it = s
             sr = sr.at[i].set(True)
             reduced = min_val + cost[i] - u[i] - v  # (C,)
             better = (reduced < shortest) & (~sc)
@@ -64,7 +69,7 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
             unassigned = row4col[j] < 0
             sink = jnp.where(unassigned, j, -1)
             i = jnp.where(unassigned, i, row4col[j])
-            return shortest, path, sr, sc, i, min_val, sink
+            return shortest, path, sr, sc, i, min_val, sink, it + 1
 
         init = (
             jnp.full((C,), _INF, jnp.float32),   # shortest path costs
@@ -74,10 +79,12 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
             cur_row,
             jnp.float32(0.0),
             jnp.int32(-1),
+            jnp.int32(0),
         )
-        shortest, path, sr, sc, _, min_val, sink = jax.lax.while_loop(
+        shortest, path, sr, sc, _, min_val, sink, _ = jax.lax.while_loop(
             dij_cond, dij_body, init
         )
+        sink = jnp.maximum(sink, 0)  # bound hit -> arbitrary valid column
 
         # --- Update dual potentials.
         u = u.at[cur_row].add(min_val)
@@ -87,22 +94,25 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
         v = v - jnp.where(sc, min_val - shortest, 0.0)
 
         # --- Augment along the alternating path ending at `sink`.
+        # Bounded by R iterations (the alternating path visits each row at
+        # most once); same device-safety rationale as above.
         def aug_cond(s):
-            _, _, _, done = s
-            return ~done
+            _, _, _, done, it = s
+            return (~done) & (it < R + 1)
 
         def aug_body(s):
-            j, c4r, r4c, _ = s
-            i = path[j]
+            j, c4r, r4c, _, it = s
+            i = jnp.clip(path[j], 0, R - 1)
             r4c = r4c.at[j].set(i)
             prev = c4r[i]
             c4r = c4r.at[i].set(j)
             done = i == cur_row
-            j = jnp.where(done, j, prev)
-            return j, c4r, r4c, done
+            j = jnp.where(done, j, jnp.clip(prev, 0, C - 1))
+            return j, c4r, r4c, done, it + 1
 
-        _, col4row, row4col, _ = jax.lax.while_loop(
-            aug_cond, aug_body, (sink, col4row, row4col, jnp.bool_(False))
+        _, col4row, row4col, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body,
+            (sink, col4row, row4col, jnp.bool_(False), jnp.int32(0))
         )
         return u, v, col4row, row4col
 

@@ -212,8 +212,14 @@ class Loss:
         def per_sample(out_s, tgt_s):
             nonempty = jnp.any(tgt_s["gt_mask"]).astype(jnp.float32)
             if self.use_assigner:
-                cost = assigner_lib.cost_matrix(out_s, tgt_s, weights,
-                                                giou_weight)
+                # Matching is a no-grad region (reference assigner.py:89,
+                # torch.no_grad). stop_gradient is also required for
+                # numerical safety: the GIoU cost path contains
+                # norms/arctan2 of degenerate (padded) boxes whose backward
+                # is NaN, and NaN * 0-cotangent would poison the gradients.
+                sg = jax.lax.stop_gradient
+                cost = assigner_lib.cost_matrix(sg(out_s), sg(tgt_s),
+                                                weights, giou_weight)
                 i, j = assigner_lib.hungarian_assign(cost)
                 losses = _sample_set_criterion(out_s, tgt_s, i, j)
             else:

@@ -168,6 +168,10 @@ class CentralizedTrainer:
               dst: Optional[str] = None,
               variables: Optional[Dict[str, Any]] = None,
               rng: Optional[jax.Array] = None) -> Dict[str, Any]:
+        from dpft_tpu.utils.profiling import \
+            enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
+
         timestamp = timestamp or _now_timestamp()
         rng = rng if rng is not None else jax.random.PRNGKey(
             self.config.get("computing", {}).get("seed") or 0)

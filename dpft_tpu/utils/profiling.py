@@ -48,6 +48,17 @@ def benchmark(fn: Callable, *args, repetitions: int = 100,
     return float(timings.mean()), float(timings.std(ddof=1))
 
 
+def enable_persistent_compilation_cache(
+        path: str = "/tmp/dpft_tpu_jax_cache") -> None:
+    """Enables JAX's on-disk compilation cache (big win for the matcher's
+    loop-nest compiles, ~10 min cold on the remote TPU compiler)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax or unsupported backend: best-effort
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Captures a device trace viewable in TensorBoard / Perfetto."""

@@ -1,5 +1,6 @@
 """Data layer tests: ETL processor, dataset loading, loader batching."""
 
+import os
 import os.path as osp
 
 import numpy as np
@@ -117,8 +118,6 @@ def test_processor_splits(prepared):
     assert len(os.listdir(osp.join(dst, "val", "10"))) == 1
     assert len(os.listdir(osp.join(dst, "test", "10"))) == 1
 
-
-import os  # noqa: E402
 
 
 def test_dataset_sample_contract(prepared):
