@@ -207,11 +207,18 @@ def get_reference_points(query: jnp.ndarray,
     homo = jnp.concatenate([query[..., :3], ones], axis=-1)  # (B, N, 4)
 
     # Transformed path: rigid transform then cartesian -> spherical (deg).
+    # The reference skips this branch entirely for zero matrices (python
+    # `if transformation.any()`, mpfusion.py:647); here both branches are
+    # traced, so the unselected branch's inputs must be made safe first:
+    # cart2spher of the all-zero camera-transform output has sqrt(0) /
+    # arctan2(0,0) whose BACKWARD is NaN, and jnp.where does not block
+    # NaN cotangents from the untaken side.
+    use_transform = jnp.any(transformation != 0)
     tq = jnp.einsum("bij,bkj->bki", transformation, homo)
+    tq = jnp.where(use_transform, tq, jnp.ones_like(tq))
     r, phi, roh = cart2spher(tq[..., 0], tq[..., 1], tq[..., 2], degrees=True)
     spher = jnp.stack([r, phi, roh], axis=-1)
 
-    use_transform = jnp.any(transformation != 0)
     pts = jnp.where(use_transform, spher, query[..., :3])
 
     homo2 = jnp.concatenate([pts, ones], axis=-1)

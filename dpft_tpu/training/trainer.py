@@ -225,11 +225,12 @@ class CentralizedTrainer:
             epoch_scalars: Dict[str, float] = {}
             epoch_loss = 0.0
             n_steps = 0
-            for i, (batch, targets) in enumerate(train_loader):
+            for i, (batch, targets) in enumerate(
+                    _prefetch_to_device(iter(train_loader))):
                 step_rng = jax.random.fold_in(rng, host_step)
                 host_step += 1
                 state, total, losses, metrics = train_step(
-                    state, _to_jnp(batch), _to_jnp(targets), step_rng)
+                    state, batch, targets, step_rng)
                 n_steps += 1
                 epoch_loss += float(total)
 
@@ -299,6 +300,25 @@ class CentralizedTrainer:
 
 def _to_jnp(tree):
     return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+def _prefetch_to_device(iterator, size: int = 2):
+    """Stages upcoming host batches onto the device ahead of consumption,
+    overlapping H2D transfers with the running step."""
+    import collections
+
+    queue = collections.deque()
+
+    def stage(item):
+        batch, targets = item
+        return _to_jnp(batch), _to_jnp(targets)
+
+    for item in iterator:
+        queue.append(stage(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 def build_trainer(config: Dict[str, Any]) -> CentralizedTrainer:
