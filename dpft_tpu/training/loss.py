@@ -109,7 +109,10 @@ def giou_loss_boxes(inputs: jnp.ndarray, targets: jnp.ndarray,
     """GIoULoss over (M, 8) boxes [x, y, z, l, w, h, sin a, cos a].
 
     Parity: reference GIoULoss (loss.py:111-173): 1 - diag(giou3d) scaled
-    to [0, 1], summed over the masked rows.
+    to [0, 1], summed over the masked rows. Forward-only like the
+    reference ("Backward is not supported", reference iou.py:76): the
+    clipping geometry contains non-differentiable argsort/selection, so
+    wrap in stop_gradient if used inside a trained objective.
     """
     from dpft_tpu.ops.boxes import get_box_corners
     from dpft_tpu.ops.iou import giou3d

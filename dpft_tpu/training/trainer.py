@@ -140,15 +140,43 @@ class CentralizedTrainer:
             metrics = metric(out, targets) if metric is not None else {}
             return total, losses, metrics
 
+        # Sharding strategy: place the state (replicated) and each batch
+        # (data-sharded) explicitly with device_put and let GSPMD propagate
+        # shardings through a plain jit. Forcing in_shardings instead would
+        # reshard the full optimizer state on EVERY call when the caller's
+        # layout object differs - measured 110 s/step vs 0.53 s/step on the
+        # tunneled single-chip backend.
         repl = replicated_sharding(mesh)
         shard = data_sharding(mesh)
-        train_jit = jax.jit(
-            train_step,
-            in_shardings=(repl, shard, shard, repl),
-            donate_argnums=(0,),
-        )
-        eval_jit = jax.jit(eval_step, in_shardings=(repl, shard, shard))
-        return train_jit, eval_jit
+        single = mesh.size == 1
+
+        train_jit = jax.jit(train_step, donate_argnums=(0,))
+        eval_jit = jax.jit(eval_step)
+
+        def place_state(state):
+            # Single device: default placement (a NamedSharding here buys
+            # nothing and the tunneled backend pays host round-trips for
+            # sharding-object mismatches).
+            return _to_jnp(state) if single else jax.device_put(state, repl)
+
+        def place_batch(*trees):
+            if single:
+                return tuple(_to_jnp(t) for t in trees)
+            # device_put straight from host numpy: one transfer, already
+            # laid out with the target sharding.
+            return tuple(jax.device_put(t, shard) for t in trees)
+
+        def train_fn(state, batch, targets, rng):
+            b, t = place_batch(batch, targets)
+            return train_jit(state, b, t, rng)
+
+        def eval_fn(state, batch, targets):
+            b, t = place_batch(batch, targets)
+            return eval_jit(state, b, t)
+
+        train_fn.place_state = place_state
+        eval_fn.place_state = place_state
+        return train_fn, eval_fn
 
     # ------------------------------------------------------------------
     # Epoch loops
@@ -203,6 +231,7 @@ class CentralizedTrainer:
             state["batch_stats"] = variables["batch_stats"]
 
         train_step, eval_step = self._make_steps(model, tx, mesh)
+        state = train_step.place_state(state)
 
         writer = None
         if self.logging is not None:
@@ -225,8 +254,8 @@ class CentralizedTrainer:
             epoch_scalars: Dict[str, float] = {}
             epoch_loss = 0.0
             n_steps = 0
-            for i, (batch, targets) in enumerate(
-                    _prefetch_to_device(iter(train_loader))):
+            for i, (batch, targets) in enumerate(_prefetch_to_device(
+                    iter(train_loader), place=None)):
                 step_rng = jax.random.fold_in(rng, host_step)
                 host_step += 1
                 state, total, losses, metrics = train_step(
@@ -262,8 +291,7 @@ class CentralizedTrainer:
                 val_scalars: Dict[str, float] = {}
                 n_val = 0
                 for i, (batch, targets) in enumerate(val_loader):
-                    total, losses, metrics = eval_step(
-                        state, _to_jnp(batch), _to_jnp(targets))
+                    total, losses, metrics = eval_step(state, batch, targets)
                     n_val += 1
                     scalars = {f"loss_{k}": v for k, v in losses.items()}
                     scalars["loss"] = total
@@ -302,7 +330,7 @@ def _to_jnp(tree):
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
-def _prefetch_to_device(iterator, size: int = 2):
+def _prefetch_to_device(iterator, place=None, size: int = 2):
     """Stages upcoming host batches onto the device ahead of consumption,
     overlapping H2D transfers with the running step."""
     import collections
@@ -311,6 +339,8 @@ def _prefetch_to_device(iterator, size: int = 2):
 
     def stage(item):
         batch, targets = item
+        if place is not None:
+            return place(batch, targets)
         return _to_jnp(batch), _to_jnp(targets)
 
     for item in iterator:
