@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 from itertools import chain
-from typing import Any, Dict, List, Tuple, Union
+from typing import Any, Dict, Tuple, Union
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import os.path as osp
 from concurrent.futures import ThreadPoolExecutor
 from functools import lru_cache
 from glob import glob
-from typing import Any, Dict, List, Tuple, Union
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 

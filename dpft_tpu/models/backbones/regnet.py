@@ -13,7 +13,7 @@ follow the torchvision per-variant tables below.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

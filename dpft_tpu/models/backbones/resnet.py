@@ -18,12 +18,11 @@ statistics live in the 'batch_stats' collection.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dpft_tpu.models.layers.common import zeros_init
 
 # torch Conv2d default (kaiming_uniform(a=sqrt(5))) -> U(+-1/sqrt(fan_in)).
 _conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")

@@ -33,7 +33,6 @@ from flax import linen as nn
 from dpft_tpu.models.layers.attention import MultiheadAttention
 from dpft_tpu.models.layers.common import (
     get_activation, torch_linear_kernel_init, torch_linear_bias_init,
-    zeros_init,
 )
 from dpft_tpu.models.layers.ms_deform_attn import MSDeformAttn
 from dpft_tpu.ops.transforms import cart2spher

@@ -11,7 +11,7 @@ optimizer + scheduler pairing.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Union
+from typing import Any, Callable, Union
 
 import optax
 
