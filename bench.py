@@ -31,7 +31,11 @@ def main():
     from dpft_tpu.models import build
     from dpft_tpu.utils.config import load_config
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
+    # The reference latency benchmark times one batch drawn from the test
+    # loader, which batches at config['train']['batch_size'] = 4
+    # (reference evaluator.py:96-135, loader.py:40, config/kradar.json:34),
+    # so batch 4 is the protocol-matched default; per-frame = batch / 4.
+    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
     repetitions = int(os.environ.get("BENCH_REPS", "100"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
     compute_dtype = os.environ.get("BENCH_DTYPE", "")  # e.g. 'bfloat16'

@@ -21,7 +21,10 @@ def main(src: str, cfg: str, checkpoint: str, dst: str) -> None:
     test_loader = load_dataset(test_dataset, config=config, shuffle=False)
 
     evaluator = build_evaluator(config)
-    evaluator(checkpoint, test_loader, dst)
+    results = evaluator(checkpoint, test_loader, dst)
+    # Delta vs reference (which only logs to TensorBoard): print the final
+    # metrics so the CLI is usable without a writer attached.
+    print(" ".join(f"{k}={float(v):.6g}" for k, v in results.items()))
 
 
 if __name__ == "__main__":

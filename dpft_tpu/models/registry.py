@@ -24,18 +24,50 @@ def build(name: str, config: Dict[str, Any]):
     raise ValueError(f"Unknown model: {name}")
 
 
+class CheckpointSaver:
+    """Asynchronous per-epoch checkpoint writer.
+
+    Orbax's StandardCheckpointer is an AsyncCheckpointer: ``save`` returns
+    once the device->host copy is done and commits (atomic directory
+    rename) in a background thread, overlapping serialization with the
+    next training epoch. config.json can only be written into the
+    checkpoint directory after that commit, so it is deferred until the
+    next ``wait()`` (called before each subsequent save and at the end of
+    training). The reference blocks training on a full-model pickle every
+    epoch instead (reference trainer.py:256-258).
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.StandardCheckpointer()
+        self._pending = None  # (path, config) of the in-flight save
+
+    def save(self, variables: Dict[str, Any], config: Dict[str, Any],
+             path: str, wait: bool = False) -> None:
+        self.wait()  # finalize any in-flight save first
+        path = osp.abspath(path)
+        os.makedirs(osp.dirname(path), exist_ok=True)
+        self._ckptr.save(path, variables, force=True)
+        self._pending = (path, config)
+        if wait:
+            self.wait()
+
+    def wait(self) -> None:
+        """Blocks until the in-flight save committed; writes config.json."""
+        if self._pending is None:
+            return
+        self._ckptr.wait_until_finished()
+        path, config = self._pending
+        self._pending = None
+
+        from dpft_tpu.utils.config import save_config
+        save_config(config, osp.join(path, "config.json"))
+
+
 def save(variables: Dict[str, Any], config: Dict[str, Any], path: str) -> None:
     """Saves model variables + config to an Orbax checkpoint directory."""
-    import orbax.checkpoint as ocp
-
-    path = osp.abspath(path)
-    os.makedirs(osp.dirname(path), exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, variables, force=True)
-    ckptr.wait_until_finished()
-
-    from dpft_tpu.utils.config import save_config
-    save_config(config, osp.join(path, "config.json"))
+    CheckpointSaver().save(variables, config, path, wait=True)
 
 
 def parse_checkpoint_name(path: str) -> Tuple[int, str]:

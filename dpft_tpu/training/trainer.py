@@ -29,7 +29,8 @@ import optax
 from dpft_tpu.evaluation.metric import Metric, build_metric
 from dpft_tpu.models import registry as model_registry
 from dpft_tpu.parallel import (create_mesh, data_parallel_size,
-                               data_sharding, replicated_sharding)
+                               data_sharding, place_tensor_parallel,
+                               replicated_sharding)
 from dpft_tpu.training.loss import Loss, build_loss
 from dpft_tpu.training.optimizer import build_optimizer
 from dpft_tpu.training.scheduler import as_step_schedule, build_scheduler
@@ -149,6 +150,7 @@ class CentralizedTrainer:
         repl = replicated_sharding(mesh)
         shard = data_sharding(mesh)
         single = mesh.size == 1
+        tp = mesh.shape.get("model", 1) > 1
 
         train_jit = jax.jit(train_step, donate_argnums=(0,))
         eval_jit = jax.jit(eval_step)
@@ -157,7 +159,13 @@ class CentralizedTrainer:
             # Single device: default placement (a NamedSharding here buys
             # nothing and the tunneled backend pays host round-trips for
             # sharding-object mismatches).
-            return _to_jnp(state) if single else jax.device_put(state, repl)
+            if single:
+                return _to_jnp(state)
+            if tp:
+                # Weight sharding over the 'model' axis (parallel/tp.py);
+                # numerically identical to the replicated step.
+                return place_tensor_parallel(state, mesh)
+            return jax.device_put(state, repl)
 
         def place_batch(*trees):
             if single:
@@ -211,9 +219,13 @@ class CentralizedTrainer:
             variables = model.init(init_rng, _to_jnp(first_batch),
                                    train=False)
 
-        # --- Mesh sized to the batch (largest divisor of B over devices).
+        # --- Mesh sized to the batch (largest divisor of B over devices);
+        # optional tensor parallelism via computing.model_parallel.
         batch_size = next(iter(first_batch.values())).shape[0]
-        mesh = create_mesh(data=data_parallel_size(batch_size))
+        mp = int(self.config.get("computing", {}).get("model_parallel", 1))
+        n_data_devices = max(jax.device_count() // mp, 1)
+        mesh = create_mesh(
+            data=data_parallel_size(batch_size, n_data_devices), model=mp)
 
         # --- Optimizer with the epoch-factor schedule.
         steps_per_epoch = max(len(train_loader), 1)
@@ -242,6 +254,9 @@ class CentralizedTrainer:
         if dst is not None:
             os.makedirs(osp.join(dst, timestamp, "checkpoints"),
                         exist_ok=True)
+
+        # Async checkpointing: each epoch's save overlaps the next epoch.
+        saver = model_registry.CheckpointSaver()
 
         from tqdm import trange
         tbar = trange(start_epoch, self.epochs, initial=start_epoch,
@@ -313,8 +328,9 @@ class CentralizedTrainer:
                 save_vars = {"params": state["params"]}
                 if "batch_stats" in state:
                     save_vars["batch_stats"] = state["batch_stats"]
-                model_registry.save(save_vars, self.config, ckpt)
+                saver.save(save_vars, self.config, ckpt)
 
+        saver.wait()
         if writer is not None:
             writer.flush()
             writer.close()

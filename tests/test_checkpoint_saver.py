@@ -1,0 +1,40 @@
+"""Async CheckpointSaver: overlapped saves commit atomically with config."""
+
+import os.path as osp
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpft_tpu.models.registry import CheckpointSaver, parse_checkpoint_name
+
+
+def test_async_saves_commit_with_config(tmp_path):
+    saver = CheckpointSaver()
+    cfg = {"model": {"name": "dprt"}, "train": {"epochs": 2}}
+    tree0 = {"params": {"w": jnp.arange(8, dtype=jnp.float32)}}
+    tree1 = {"params": {"w": jnp.arange(8, dtype=jnp.float32) + 1}}
+
+    p0 = str(tmp_path / "ts_checkpoint_0000")
+    p1 = str(tmp_path / "ts_checkpoint_0001")
+    saver.save(tree0, cfg, p0)           # async, no wait
+    saver.save(tree1, cfg, p1)           # finalizes p0 first
+    saver.wait()
+
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    for path, tree in ((p0, tree0), (p1, tree1)):
+        assert osp.exists(osp.join(path, "config.json"))
+        got = ckptr.restore(path)
+        np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                      np.asarray(tree["params"]["w"]))
+
+    assert parse_checkpoint_name(p1) == (1, "ts")
+
+
+def test_wait_is_idempotent(tmp_path):
+    saver = CheckpointSaver()
+    saver.wait()  # no pending save: no-op
+    saver.save({"params": {"w": jnp.zeros(4)}}, {}, str(tmp_path / "a_checkpoint_0000"),
+               wait=True)
+    saver.wait()
+    assert osp.exists(str(tmp_path / "a_checkpoint_0000" / "config.json"))
