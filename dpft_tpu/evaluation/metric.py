@@ -148,10 +148,18 @@ def mgiou3d_sample(inputs: Dict[str, jnp.ndarray],
         giou = jnp.where(pair_mask, giou, -1.0)
         match = jnp.max(giou, axis=0)                       # (M,)
 
+        # Mean over the REAL target columns only: the reference's matrix
+        # has exactly the real targets as columns (metric.py:231-238);
+        # padded columns must not dilute the mean (they would contribute
+        # -1 each). Off-class real columns stay included as -1, matching
+        # the reference.
+        n_real = jnp.maximum(jnp.sum(gt_real), 1)
+        mean_match = jnp.sum(jnp.where(gt_real, match, 0.0)) / n_real
+
         npos = jnp.sum(gt_mask)
         any_pair = jnp.any(pair_mask)
         value = jnp.where(
-            any_pair, jnp.mean(match),
+            any_pair, mean_match,
             jnp.where(npos == 0, 1.0, -1.0))
         gious.append(value)
 
