@@ -126,14 +126,41 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
     return col4row
 
 
-def assign(cost_qt: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+_VIRT_COST = 1e9  # dominates any real matching cost; well inside f32 range
+
+
+def assign(cost_qt: jnp.ndarray,
+           row_mask: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DETR-style matching: cost (N_queries, M_targets) -> (index_i, index_j).
 
     Matches reference assigner.py:138-143 output semantics: index_i are the
     selected query indices in ascending order, index_j the corresponding
     target indices. M must be <= N. Works under vmap.
+
+    row_mask (optional, (M,) bool): marks which targets are real. Padded
+    targets are routed to a dedicated *virtual column* with cost -VIRT
+    (their real-column costs are zeroed; real targets pay +VIRT for virtual
+    columns), so every optimal solution pins each padded row to its own
+    virtual column and the restriction to real rows is exactly the optimum
+    of the real subproblem. The payoff is performance: a padded row's
+    Dijkstra terminates on its first scanned column instead of sweeping up
+    to N columns (the padded rows dominated the matcher's sequential
+    iteration count). Padded rows return the sentinel index_i == N so
+    downstream scatters can drop them (they are masked out of every loss
+    term anyway).
     """
-    col4row = solve(cost_qt.T)          # (M,): query assigned to each target
+    M, N = cost_qt.shape[1], cost_qt.shape[0]
+    cost_tm = cost_qt.T  # (M, N)
+    if row_mask is None:
+        col4row = solve(cost_tm)        # (M,): query assigned to each target
+    else:
+        real = row_mask.astype(jnp.float32)[:, None]
+        virt = jnp.where(
+            jnp.eye(M, dtype=bool) & ~row_mask[None, :],
+            -_VIRT_COST, _VIRT_COST)    # (M, M) virtual block
+        aug = jnp.concatenate([cost_tm * real, virt], axis=1)
+        col4row = solve(aug)
+        col4row = jnp.where(col4row >= N, N, col4row)  # pads -> sentinel N
     order = jnp.argsort(col4row)        # targets sorted by query index
     index_i = col4row[order]
     index_j = order.astype(jnp.int32)

@@ -66,9 +66,17 @@ def cost_matrix(outputs: Dict[str, jnp.ndarray],
     return jnp.where(targets["gt_mask"][None, :], cost, _PAD_COST)
 
 
-def hungarian_assign(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(N, M) cost -> (index_i (M,), index_j (M,)) like the reference."""
-    return hungarian.assign(cost)
+def hungarian_assign(cost: jnp.ndarray,
+                     row_mask: jnp.ndarray = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, M) cost -> (index_i (M,), index_j (M,)) like the reference.
+
+    row_mask (optional): (M,) bool of real targets; padded targets are
+    routed to virtual columns and come back with the sentinel index_i == N
+    (see ops/hungarian.assign) -- a large matcher speedup, since padded
+    rows no longer sweep the full column set.
+    """
+    return hungarian.assign(cost, row_mask)
 
 
 class HungarianAnassigner:

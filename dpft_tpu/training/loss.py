@@ -78,9 +78,11 @@ def _sample_set_criterion(outputs: Dict[str, jnp.ndarray],
     # --- total_class: background canvas + scatter of matched targets.
     base = jnp.zeros((N, C)).at[:, 0].set(1.0)
     gt_sel = targets["gt_class"][index_j]         # (M, C)
-    # Padded rows scatter their (class-0 one-hot) padding onto a class-0
-    # canvas: a no-op by construction, so an unmasked scatter is exact.
-    canvas = base.at[index_i].set(gt_sel)
+    # Padded rows either carry the sentinel index N (virtual-column
+    # matching, ops/hungarian.py) and are dropped, or scatter their
+    # (class-0 one-hot) padding onto a class-0 canvas: a no-op by
+    # construction. Either way the unmasked scatter is exact.
+    canvas = base.at[index_i].set(gt_sel, mode="drop")
     tot = focal_loss(outputs["class"], canvas)
     total_class = jnp.sum(jnp.mean(tot, axis=0)) / n_real * N
 
@@ -223,7 +225,7 @@ class Loss:
                 sg = jax.lax.stop_gradient
                 cost = assigner_lib.cost_matrix(sg(out_s), sg(tgt_s),
                                                 weights, giou_weight)
-                i, j = assigner_lib.hungarian_assign(cost)
+                i, j = assigner_lib.hungarian_assign(cost, tgt_s["gt_mask"])
                 losses = _sample_set_criterion(out_s, tgt_s, i, j)
             else:
                 losses = self._per_sample_plain(out_s, tgt_s)
