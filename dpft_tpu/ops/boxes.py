@@ -19,6 +19,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 # Unit-box corner signs for (x, y, z), matching the reference vertex order.
+# PERFORMANCE NOTE: do NOT realize these as a `(..., 1) * jnp.array((8,))`
+# broadcast multiply. Executing that exact pattern (a genuine multiply of a
+# length-8 constant vector against a broadcast slice) even ONCE permanently
+# degrades every subsequent executable launch in the process on the
+# tunneled TPU runtime by ~30x (measured: an unrelated 15 ms train-step
+# backward becomes 550 ms after running one such op; multiply-by-ones is
+# folded away and is harmless; the concatenation form below is harmless).
+# The sign tables are kept for documentation/tests.
 _X_SIGNS = jnp.array([-1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
 _Y_SIGNS = jnp.array([-1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0])
 _Z_SIGNS = jnp.array([-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0])
@@ -37,9 +45,13 @@ def get_box_corners(center: jnp.ndarray, size: jnp.ndarray,
         (..., N, 8, 3) corners in the documented vertex order.
     """
     half = size * 0.5
-    xc = half[..., 0:1] * _X_SIGNS  # (..., N, 8)
-    yc = half[..., 1:2] * _Y_SIGNS
-    zc = half[..., 2:3] * _Z_SIGNS
+    hx = half[..., 0:1]
+    hy = half[..., 1:2]
+    hz = half[..., 2:3]
+    # Signed columns by concatenation (see the performance note above).
+    xc = jnp.concatenate([-hx, hx, hx, -hx, -hx, hx, hx, -hx], axis=-1)
+    yc = jnp.concatenate([-hy, -hy, hy, hy, -hy, -hy, hy, hy], axis=-1)
+    zc = jnp.concatenate([-hz, -hz, -hz, -hz, hz, hz, hz, hz], axis=-1)
 
     cos = jnp.cos(angle)[..., None]
     sin = jnp.sin(angle)[..., None]
@@ -72,9 +84,15 @@ def get_minimum_enclosing_box_corners(boxes1: jnp.ndarray,
     lo = jnp.minimum(mins1[:, None, :], mins2[None, :, :])  # (N, M, 3)
     hi = jnp.maximum(maxs1[:, None, :], maxs2[None, :, :])
 
-    x = jnp.where(_X_SIGNS > 0, hi[..., 0:1], lo[..., 0:1])  # (N, M, 8)
-    y = jnp.where(_Y_SIGNS > 0, hi[..., 1:2], lo[..., 1:2])
-    z = jnp.where(_Z_SIGNS > 0, hi[..., 2:3], lo[..., 2:3])
+    # Column selection by concatenation in the _*_SIGNS vertex order (a
+    # `where` against the length-8 constant is the same runtime-degrading
+    # broadcast pattern documented at get_box_corners).
+    lx, hx = lo[..., 0:1], hi[..., 0:1]
+    ly, hy = lo[..., 1:2], hi[..., 1:2]
+    lz, hz = lo[..., 2:3], hi[..., 2:3]
+    x = jnp.concatenate([lx, hx, hx, lx, lx, hx, hx, lx], axis=-1)
+    y = jnp.concatenate([ly, ly, hy, hy, ly, ly, hy, hy], axis=-1)
+    z = jnp.concatenate([lz, lz, lz, lz, hz, hz, hz, hz], axis=-1)
     return jnp.stack((x, y, z), axis=-1)
 
 

@@ -70,31 +70,41 @@ def _sample_set_criterion(outputs: Dict[str, jnp.ndarray],
     outputs: class (N, C), center (N, 3), size (N, 3), angle (N, 2).
     targets: gt_* padded to M rows, gt_mask (M,) marking real targets.
     index_i/index_j: (M,) matched query / target indices.
+
+    All index consumption goes through one-hot contractions instead of
+    gather/scatter: data-dependent gather indices inside a large backward
+    program trigger a pathological schedule on the TPU backend (measured
+    540 ms of a 575 ms train-step backward at flagship shapes; with the
+    same math expressed as one-hot matmuls the backward is 15 ms). The
+    matrices are tiny ((M, N) = (32, 400)), dense, MXU-friendly, and their
+    backward is again a matmul. The sentinel index N of padded matches
+    (ops/hungarian.py) maps to an all-zero one-hot row, reproducing the
+    scatter-drop semantics exactly.
     """
     N, C = outputs["class"].shape
-    mask_j = targets["gt_mask"][index_j]          # (M,) real-match mask
-    n_real = jnp.maximum(jnp.sum(mask_j.astype(jnp.float32)), 1.0)
+    sel_q = jax.nn.one_hot(index_i, N, dtype=jnp.float32)  # (M, N)
+    sel_t = jax.nn.one_hot(index_j, index_j.shape[0],
+                           dtype=jnp.float32)              # (M, M) perm
+    mask_j = sel_t @ targets["gt_mask"].astype(jnp.float32)  # (M,)
+    n_real = jnp.maximum(jnp.sum(mask_j), 1.0)
 
-    # --- total_class: background canvas + scatter of matched targets.
+    # --- total_class: background canvas with matched targets patched in.
     base = jnp.zeros((N, C)).at[:, 0].set(1.0)
-    gt_sel = targets["gt_class"][index_j]         # (M, C)
-    # Padded rows either carry the sentinel index N (virtual-column
-    # matching, ops/hungarian.py) and are dropped, or scatter their
-    # (class-0 one-hot) padding onto a class-0 canvas: a no-op by
-    # construction. Either way the unmasked scatter is exact.
-    canvas = base.at[index_i].set(gt_sel, mode="drop")
+    gt_sel = sel_t @ targets["gt_class"]          # (M, C)
+    covered = jnp.sum(sel_q, axis=0)              # (N,) 0/1, rows distinct
+    canvas = base * (1.0 - covered)[:, None] + sel_q.T @ gt_sel
     tot = focal_loss(outputs["class"], canvas)
     total_class = jnp.sum(jnp.mean(tot, axis=0)) / n_real * N
 
     # --- object_class: focal on matched pairs only.
-    pred_sel = outputs["class"][index_i]          # (M, C)
+    pred_sel = sel_q @ outputs["class"]           # (M, C); 0 rows for pads
     obj = focal_loss(pred_sel, gt_sel) * mask_j[:, None]
     object_class = jnp.sum(obj) / n_real / n_real * N
 
     # --- L1 on matched center / size / angle (mean over real elements).
     def l1(key_out, key_gt, dims):
-        diff = jnp.abs(outputs[key_out][index_i]
-                       - targets[key_gt][index_j]) * mask_j[:, None]
+        diff = jnp.abs(sel_q @ outputs[key_out]
+                       - sel_t @ targets[key_gt]) * mask_j[:, None]
         return jnp.sum(diff) / (n_real * dims)
 
     return {
@@ -208,24 +218,50 @@ class Loss:
                 losses[name] = _PLAIN_LOSSES[fn_name](pred, gt, mask)
         return losses
 
+    def match(self, outputs: Dict[str, jnp.ndarray],
+              targets: Dict[str, jnp.ndarray]
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched Hungarian matching: (B, M) index_i / index_j.
+
+        Exposed separately so the trainer can run the matcher in its OWN
+        jitted program: the JV solver's data-dependent while loops execute
+        ~1000x slower per iteration when embedded in the large fused
+        train-step executable on TPU (measured 550 ms of a 575 ms backward;
+        0.5 ms standalone). See CentralizedTrainer._make_steps.
+        """
+        def per_sample(out_s, tgt_s):
+            sg = jax.lax.stop_gradient
+            cost = assigner_lib.cost_matrix(sg(out_s), sg(tgt_s),
+                                            self.loss_weights,
+                                            self.giou_weight)
+            return assigner_lib.hungarian_assign(cost, tgt_s["gt_mask"])
+
+        return jax.vmap(per_sample)(outputs, targets)
+
     def __call__(self, outputs: Dict[str, jnp.ndarray],
-                 targets: Dict[str, jnp.ndarray]
+                 targets: Dict[str, jnp.ndarray],
+                 indices: Tuple[jnp.ndarray, jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         weights = self.loss_weights
         giou_weight = self.giou_weight
 
-        def per_sample(out_s, tgt_s):
+        def per_sample(out_s, tgt_s, idx=None):
             nonempty = jnp.any(tgt_s["gt_mask"]).astype(jnp.float32)
             if self.use_assigner:
-                # Matching is a no-grad region (reference assigner.py:89,
-                # torch.no_grad). stop_gradient is also required for
-                # numerical safety: the GIoU cost path contains
-                # norms/arctan2 of degenerate (padded) boxes whose backward
-                # is NaN, and NaN * 0-cotangent would poison the gradients.
-                sg = jax.lax.stop_gradient
-                cost = assigner_lib.cost_matrix(sg(out_s), sg(tgt_s),
-                                                weights, giou_weight)
-                i, j = assigner_lib.hungarian_assign(cost, tgt_s["gt_mask"])
+                if idx is None:
+                    # Matching is a no-grad region (reference
+                    # assigner.py:89, torch.no_grad). stop_gradient is
+                    # also required for numerical safety: the GIoU cost
+                    # path contains norms/arctan2 of degenerate (padded)
+                    # boxes whose backward is NaN, and NaN * 0-cotangent
+                    # would poison the gradients.
+                    sg = jax.lax.stop_gradient
+                    cost = assigner_lib.cost_matrix(sg(out_s), sg(tgt_s),
+                                                    weights, giou_weight)
+                    i, j = assigner_lib.hungarian_assign(cost,
+                                                         tgt_s["gt_mask"])
+                else:
+                    i, j = idx
                 losses = _sample_set_criterion(out_s, tgt_s, i, j)
             else:
                 losses = self._per_sample_plain(out_s, tgt_s)
@@ -236,7 +272,12 @@ class Loss:
                 for k, w in weights.items()
             }
 
-        batch_losses = jax.vmap(per_sample)(outputs, targets)  # dict of (B,)
+        if indices is not None:
+            batch_losses = jax.vmap(
+                lambda o, t, i, j: per_sample(o, t, (i, j)))(
+                    outputs, targets, indices[0], indices[1])
+        else:
+            batch_losses = jax.vmap(per_sample)(outputs, targets)
 
         if self.reduction == "mean":
             batch_losses = {k: jnp.mean(v) for k, v in batch_losses.items()}
