@@ -29,15 +29,42 @@ def _collate(samples) -> Batch:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 0, drop_last: bool = False,
-                 prefetch: int = 2, seed: int | None = None):
+                 pad_last: bool = False, prefetch: int = 2,
+                 seed: int | None = None):
+        """pad_last: pad a short final batch to batch_size by repeating its
+        last sample and add a ``sample_mask`` (B,) bool to the targets of
+        EVERY batch (stable jit signature). Downstream consumers (loss,
+        metric, exporter) weight/skip by it. This is the multi-device
+        partial-batch policy: a B' < B batch cannot be laid out over the
+        mesh 'data' axis and would force a tail-batch recompile; the
+        reference tolerates ragged batches trivially (reference
+        loader.py:37-44) so the policy is TPU-specific."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(0, num_workers)
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self.prefetch = max(1, prefetch)
         self._epoch = 0
         self._seed = seed
+
+    def _pad(self, batch: Batch) -> Batch:
+        inputs, targets = batch
+        b = next(iter(inputs.values())).shape[0]
+        B = self.batch_size
+        mask = np.zeros(B, bool)
+        mask[:b] = True
+
+        def pad(a):
+            if b == B:
+                return a
+            return np.concatenate([a, np.repeat(a[-1:], B - b, axis=0)])
+
+        inputs = {k: pad(v) for k, v in inputs.items()}
+        targets = {k: pad(v) for k, v in targets.items()}
+        targets["sample_mask"] = mask
+        return inputs, targets
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -63,10 +90,11 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._batch_indices()
+        finish = self._pad if self.pad_last else (lambda b: b)
 
         if self.num_workers == 0:
             for idx in batches:
-                yield _collate([self.dataset[int(i)] for i in idx])
+                yield finish(_collate([self.dataset[int(i)] for i in idx]))
             return
 
         # Threaded prefetch: decode samples in a pool, assemble batches in
@@ -82,7 +110,7 @@ class DataLoader:
                         return
                     futures = [pool.submit(self.dataset.__getitem__, int(i))
                                for i in idx]
-                    out.put(_collate([f.result() for f in futures]))
+                    out.put(finish(_collate([f.result() for f in futures])))
             except BaseException as exc:  # propagate to consumer
                 out.put(exc)
             finally:
@@ -104,7 +132,8 @@ class DataLoader:
 
 
 def load_listed(dataset, config: Dict[str, Any], drop_last: bool | None = None,
-                shuffle: bool | None = None) -> DataLoader:
+                shuffle: bool | None = None,
+                pad_last: bool = False) -> DataLoader:
     """Builds a loader from config (reference loader.py:37-44)."""
     train_cfg = config.get("train", {})
     return DataLoader(
@@ -113,5 +142,6 @@ def load_listed(dataset, config: Dict[str, Any], drop_last: bool | None = None,
         shuffle=train_cfg.get("shuffle", False) if shuffle is None else shuffle,
         num_workers=config.get("computing", {}).get("workers", 0),
         drop_last=bool(drop_last) if drop_last is not None else False,
+        pad_last=pad_last,
         seed=config.get("computing", {}).get("seed"),
     )

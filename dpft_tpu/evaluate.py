@@ -18,7 +18,11 @@ def main(src: str, cfg: str, checkpoint: str, dst: str) -> None:
 
     test_dataset = init_dataset(config["dataset"], src=src, split="test",
                                 config=config)
-    test_loader = load_dataset(test_dataset, config=config, shuffle=False)
+    # pad_last: a short final batch is padded to batch_size with a
+    # sample_mask so every batch has one jit signature and shards over the
+    # mesh 'data' axis; metric/exporter ignore the padded rows.
+    test_loader = load_dataset(test_dataset, config=config, shuffle=False,
+                               pad_last=True)
 
     evaluator = build_evaluator(config)
     results = evaluator(checkpoint, test_loader, dst)

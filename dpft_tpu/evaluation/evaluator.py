@@ -87,7 +87,10 @@ class CentralizedEvaluator:
                     self.export_fn(
                         {k: np.asarray(v) for k, v in out.items()},
                         targets, sample_step, dst)
-                sample_step += next(iter(batch.values())).shape[0]
+                if "sample_mask" in targets:  # loader pad_last policy
+                    sample_step += int(np.sum(targets["sample_mask"]))
+                else:
+                    sample_step += next(iter(batch.values())).shape[0]
                 pbar.update()
 
         avg = {k: v / max(n, 1) for k, v in scalars.items()}

@@ -175,19 +175,23 @@ class KRadarExporter:
         outputs = {k: np.asarray(v) for k, v in outputs.items()}
         targets = {k: np.asarray(v) for k, v in targets.items()}
         B = outputs["class"].shape[0]
+        # Padded tail-batch rows (loader pad_last policy) are not samples.
+        sample_mask = np.asarray(
+            targets.get("sample_mask", np.ones(B, bool)))
+        real_rows = [b for b in range(B) if sample_mask[b]]
 
         for conf_thr in self.conf_thrs:
             folder = osp.join(dst, "exports", "kradar", str(conf_thr))
-            for b in range(B):
+            for off, b in enumerate(real_rows):
                 mask = targets["gt_mask"][b]
                 tgt = {f"gt_{k}": targets[f"gt_{k}"][b][mask]
                        for k in ("class", "center", "size", "angle")}
                 desc = targets["description"][b]
-                self._export_objects(tgt, conf_thr, step + b, desc, folder,
+                self._export_objects(tgt, conf_thr, step + off, desc, folder,
                                      is_target=True)
                 out = {k: outputs[k][b] for k in
                        ("class", "center", "size", "angle")}
-                self._export_objects(out, conf_thr, step + b, desc, folder,
+                self._export_objects(out, conf_thr, step + off, desc, folder,
                                      is_target=False)
 
 

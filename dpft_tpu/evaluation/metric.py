@@ -193,11 +193,27 @@ class Metric:
 
     def __call__(self, outputs: Dict[str, jnp.ndarray],
                  targets: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        # Padded tail-batch samples (loader pad_last policy) drop out of
+        # the reduction entirely.
+        targets = dict(targets)
+        sample_mask = targets.pop("sample_mask", None)
+        sm = (None if sample_mask is None
+              else jnp.asarray(sample_mask, jnp.float32))
+
         results = {}
         for name, fn_name in self.metrics.items():
             fn = _METRICS[fn_name]
             per_sample = jax.vmap(fn)(outputs, targets)  # (B,)
-            if self.reduction == "mean":
+            if sm is not None:
+                masked = per_sample * sm
+                if self.reduction == "mean":
+                    results[name] = (jnp.sum(masked)
+                                     / jnp.maximum(jnp.sum(sm), 1.0))
+                elif self.reduction == "sum":
+                    results[name] = jnp.sum(masked)
+                else:
+                    results[name] = masked
+            elif self.reduction == "mean":
                 results[name] = jnp.mean(per_sample)
             elif self.reduction == "sum":
                 results[name] = jnp.sum(per_sample)

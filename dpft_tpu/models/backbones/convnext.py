@@ -44,7 +44,7 @@ class ConvNeXtBlock(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(4 * self.dim, kernel_init=_trunc_normal,
                      bias_init=zeros_init, dtype=self.dtype, name="pw1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
         x = nn.Dense(self.dim, kernel_init=_trunc_normal,
                      bias_init=zeros_init, dtype=self.dtype, name="pw2")(x)
         gamma = self.param("gamma",

@@ -58,12 +58,21 @@ def _relative_position_index(w: int) -> np.ndarray:
     return rel[..., 0] * (2 * w - 1) + rel[..., 1]  # (w*w, w*w)
 
 
-def _shift_attn_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
-    """(nWindows, w*w, w*w) additive mask for shifted-window attention."""
+def _shift_attn_mask(H: int, W: int, w: int, shift_h: int,
+                     shift_w: int) -> np.ndarray:
+    """(nWindows, w*w, w*w) additive mask for shifted-window attention.
+
+    Per-axis shifts, matching torchvision's shifted_window_attention: an
+    axis whose shift is 0 contributes a single all-covering region.
+    """
+    def slices(shift):
+        end = -shift if shift > 0 else None
+        return (slice(0, -w), slice(-w, end), slice(end, None))
+
     img = np.zeros((1, H, W, 1))
     cnt = 0
-    for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
-        for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+    for hs in slices(shift_h):
+        for ws in slices(shift_w):
             img[:, hs, ws, :] = cnt
             cnt += 1
     windows = np.asarray(
@@ -125,16 +134,19 @@ class SwinBlock(nn.Module):
         w = WINDOW
         pad_h = (w - H % w) % w
         pad_w = (w - W % w) % w
-        shift = self.shift if min(H, W) > w else 0
+        Hp, Wp = H + pad_h, W + pad_w
+        # torchvision disables the shift per axis when the padded size is
+        # covered by a single window (shifted_window_attention semantics).
+        shift_h = self.shift if w < Hp else 0
+        shift_w = self.shift if w < Wp else 0
 
         shortcut = x
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        Hp, Wp = H + pad_h, W + pad_w
 
-        if shift > 0:
-            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
-            mask = _shift_attn_mask(Hp, Wp, w, shift)
+        if shift_h or shift_w:
+            h = jnp.roll(h, (-shift_h, -shift_w), axis=(1, 2))
+            mask = _shift_attn_mask(Hp, Wp, w, shift_h, shift_w)
         else:
             mask = None
 
@@ -144,17 +156,17 @@ class SwinBlock(nn.Module):
             windows, mask)
         h = _window_reverse(attended, w, B, Hp, Wp)
 
-        if shift > 0:
-            h = jnp.roll(h, (shift, shift), axis=(1, 2))
+        if shift_h or shift_w:
+            h = jnp.roll(h, (shift_h, shift_w), axis=(1, 2))
         h = h[:, :H, :W]
         x = shortcut + h
 
         # MLP
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio),
                      kernel_init=_trunc_normal, bias_init=zeros_init,
                      dtype=self.dtype, name="mlp1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU is exact erf
         h = nn.Dense(self.dim, kernel_init=_trunc_normal,
                      bias_init=zeros_init, dtype=self.dtype, name="mlp2")(h)
         return x + h
@@ -173,7 +185,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False,
                         kernel_init=_trunc_normal, dtype=self.dtype,
                         name="reduction")(x)
@@ -198,7 +210,7 @@ class SwinBackbone(nn.Module):
         x = nn.Conv(embed_dim, (4, 4), strides=(4, 4),
                     kernel_init=_trunc_normal, bias_init=zeros_init,
                     dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         outputs = {}
         dim = embed_dim

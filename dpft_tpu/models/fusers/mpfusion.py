@@ -84,7 +84,7 @@ class MLFusion(nn.Module):
             qk, qk, query, deterministic=det)
         out = query + nn.Dropout(self.dropout)(attn, deterministic=det)
         if self.norm:
-            out = nn.LayerNorm(name="norm1")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="norm1")(out)
 
         # --- Deformable cross-attention over this view's feature levels.
         spatial_shapes = tuple(
@@ -99,7 +99,7 @@ class MLFusion(nn.Module):
             with_pos_embed(out, query_positions), ref, flat, spatial_shapes)
         out = out + nn.Dropout(self.dropout)(cross, deterministic=det)
         if self.norm:
-            out = nn.LayerNorm(name="norm2")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="norm2")(out)
 
         # --- Feed-forward.
         act = get_activation(self.activation)
@@ -108,7 +108,7 @@ class MLFusion(nn.Module):
         h = _dense(self.d_model, self.d_ffn, "ffn2")(h)
         out = out + nn.Dropout(self.dropout)(h, deterministic=det)
         if self.norm:
-            out = nn.LayerNorm(name="norm3")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="norm3")(out)
 
         return out
 
@@ -181,7 +181,7 @@ class MPFusion(nn.Module):
         down = _dense(self.d_model, CV, "red_downsample")(q)
         out = down + out
         if self.norm:
-            out = nn.LayerNorm(name="red_norm1")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="red_norm1")(out)
         return out
 
 

@@ -36,7 +36,8 @@ def torch_linear_bias_init(fan_in: int) -> Callable:
 
 _ACTIVATIONS = {
     "relu": jax.nn.relu,
-    "gelu": jax.nn.gelu,
+    # torch nn.GELU default is the exact erf form, not the tanh approx.
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "tanh": jnp.tanh,
     "sigmoid": jax.nn.sigmoid,
     "silu": jax.nn.silu,

@@ -28,10 +28,19 @@ def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
 
     train_dataset = init_dataset(config["dataset"], src=src, split="train",
                                  config=config)
-    train_loader = load_dataset(train_dataset, config=config)
+    # drop_last keeps the global batch constant (one jit signature, clean
+    # sharding over the mesh 'data' axis); kept off only when the dataset
+    # is smaller than one batch so tiny fixtures still train.
+    batch_size = config.get("train", {}).get("batch_size", 1)
+    train_loader = load_dataset(
+        train_dataset, config=config,
+        drop_last=len(train_dataset) >= batch_size)
     val_dataset = init_dataset(config["dataset"], src=src, split="val",
                                config=config)
-    val_loader = load_dataset(val_dataset, config=config, shuffle=False)
+    # pad_last: short final val batch is padded with a sample_mask; the
+    # loss/metric weight the padded rows out.
+    val_loader = load_dataset(val_dataset, config=config, shuffle=False,
+                              pad_last=True)
 
     variables = None
     if checkpoint is not None:

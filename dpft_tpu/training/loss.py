@@ -236,6 +236,7 @@ class Loss:
                                             self.giou_weight)
             return assigner_lib.hungarian_assign(cost, tgt_s["gt_mask"])
 
+        targets = {k: v for k, v in targets.items() if k != "sample_mask"}
         return jax.vmap(per_sample)(outputs, targets)
 
     def __call__(self, outputs: Dict[str, jnp.ndarray],
@@ -244,6 +245,11 @@ class Loss:
                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         weights = self.loss_weights
         giou_weight = self.giou_weight
+
+        # Padded tail-batch samples (loader pad_last policy) are weighted
+        # out of every loss term and out of the 'mean' denominator.
+        targets = dict(targets)
+        sample_mask = targets.pop("sample_mask", None)
 
         def per_sample(out_s, tgt_s, idx=None):
             nonempty = jnp.any(tgt_s["gt_mask"]).astype(jnp.float32)
@@ -279,7 +285,17 @@ class Loss:
         else:
             batch_losses = jax.vmap(per_sample)(outputs, targets)
 
-        if self.reduction == "mean":
+        if sample_mask is not None:
+            sm = jnp.asarray(sample_mask, jnp.float32)
+            batch_losses = {k: v * sm for k, v in batch_losses.items()}
+            denom = jnp.maximum(jnp.sum(sm), 1.0)
+            if self.reduction == "mean":
+                batch_losses = {k: jnp.sum(v) / denom
+                                for k, v in batch_losses.items()}
+            elif self.reduction == "sum":
+                batch_losses = {k: jnp.sum(v)
+                                for k, v in batch_losses.items()}
+        elif self.reduction == "mean":
             batch_losses = {k: jnp.mean(v) for k, v in batch_losses.items()}
         elif self.reduction == "sum":
             batch_losses = {k: jnp.sum(v) for k, v in batch_losses.items()}

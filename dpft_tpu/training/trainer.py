@@ -11,7 +11,7 @@ Hungarian matching, backward, optimizer update, metrics) is one jitted XLA
 program. The batch is sharded over the mesh 'data' axis; model state is
 replicated; XLA inserts the gradient/BatchNorm all-reduces over ICI, so the
 DP step equals the single-device step on the full batch (verified in
-tests/test_trainer.py on an 8-device CPU mesh).
+tests/test_e2e.py::test_dp_equals_single_device on an 8-device CPU mesh).
 """
 
 from __future__ import annotations
@@ -264,6 +264,11 @@ class CentralizedTrainer:
             init_rng, rng = jax.random.split(rng)
             variables = model.init(init_rng, _to_jnp(first_batch),
                                    train=False)
+            # Pretrained backbone weights (config backbones.*.weights,
+            # reference resnet.py:142-167) merge into the fresh init only;
+            # resumed checkpoints already carry trained values.
+            from dpft_tpu.models.pretrained import apply_pretrained
+            variables = apply_pretrained(variables, self.config)
 
         # --- Mesh sized to the batch (largest divisor of B over devices);
         # optional tensor parallelism via computing.model_parallel.

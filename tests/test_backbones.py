@@ -7,6 +7,8 @@ import pytest
 
 from dpft_tpu.models.backbones import build_backbone
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name,dims", [
     ("convnext_tiny", (96, 192, 384, 768)),

@@ -18,6 +18,8 @@ from dpft_tpu.utils.misc import set_seed
 
 from kradar_fixture import base_config, make_raw_kradar
 
+pytestmark = pytest.mark.slow
+
 
 def small_model_config(config):
     """Adds a shrunken full-fusion model section (ResNet18, 1 iteration)."""

@@ -1,11 +1,14 @@
 """Gradient health of the set loss (padded targets must not poison grads)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from dpft_tpu.training.loss import Loss
 from test_training_loss import WEIGHTS, make_random_problem
+
+pytestmark = pytest.mark.slow
 
 
 def test_loss_gradients_finite_with_padding():

@@ -2,12 +2,15 @@
 reference algorithm (metric.py:16-250), using the framework's own (tested)
 IoU/GIoU primitives as the geometric oracle."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from dpft_tpu.evaluation.metric import map3d_sample, mgiou3d_sample
 from dpft_tpu.ops.boxes import get_box_corners
 from dpft_tpu.ops.iou import giou3d, iou3d
+
+pytestmark = pytest.mark.slow
 
 
 def _np_corners(center, size, angle_sincos):

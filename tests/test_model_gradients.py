@@ -1,6 +1,8 @@
 """Full-model gradient health (regression for the where-NaN trap in the
 camera-view reference-point projection)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +16,8 @@ import os.path as osp
 sys.path.insert(0, osp.dirname(__file__))
 sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 from __graft_entry__ import _example_batch, _example_targets  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 
 def test_full_model_loss_gradients_finite():

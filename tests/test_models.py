@@ -15,6 +15,8 @@ from dpft_tpu.models.necks.fpn import FPN, nearest_resize
 from dpft_tpu.models.queries.data_agnostic import DataAgnosticStaticQueries
 from dpft_tpu.utils.config import load_config
 
+pytestmark = pytest.mark.slow
+
 CONFIG_DIR = "config"
 
 

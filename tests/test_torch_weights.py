@@ -9,6 +9,8 @@ import pytest
 from dpft_tpu.models.backbones.resnet import ResNetBackbone
 from dpft_tpu.models.backbones.torch_weights import convert_resnet
 
+pytestmark = pytest.mark.slow
+
 
 def synthetic_resnet18_state(rng):
     """Builds a state_dict with torchvision resnet18 key names/shapes."""

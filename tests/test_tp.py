@@ -1,6 +1,8 @@
 """Tensor-parallel ('model' axis) sharding: spec rules + numerical
 equivalence of a DP x TP step with the single-device step."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +10,8 @@ from jax.sharding import PartitionSpec as P
 
 from dpft_tpu.parallel import (create_mesh, place_tensor_parallel,
                                tp_spec_for_shape)
+
+pytestmark = pytest.mark.slow
 
 
 def test_tp_spec_rules():

@@ -11,6 +11,8 @@ from dpft_tpu.training.loss import Loss, binary_cross_entropy_with_logits, focal
 from dpft_tpu.training.scheduler import build_scheduler
 from dpft_tpu.training.optimizer import build_optimizer
 
+pytestmark = pytest.mark.slow
+
 WEIGHTS = {"total_class": 1.0, "object_class": 0.0, "center": 1.0,
            "size": 1.0, "angle": 1.0}
 
