@@ -54,6 +54,10 @@ def main(src: str, cfg: str) -> None:
         "a": radar_info.azimuth_raster,
         "d": radar_info.doppler_raster,
     }
+    # Shrunken fixtures carry reduced tesseracts; slice the rasters to the
+    # actual bin counts (a no-op on real K-Radar data).
+    for key, axis in zip("drea", range(4)):
+        raster[key] = np.asarray(raster[key])[:tesseract.shape[axis]]
 
     # Radar frame: inverse of the radar->lidar translation.
     radar_to_lidar = preparator.get_translation(sample["calib_radar_lidar"])

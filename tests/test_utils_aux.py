@@ -90,6 +90,55 @@ def test_visu_smoke(tmp_path):
     fig.savefig(tmp_path / "radar_ea.png")
 
 
+def test_visu_full_surface(tmp_path):
+    """Reference visu.py:14-552 parity surface: colormaps, scalar2rgba,
+    3D cube view, 2D grids polar+cartesian with box/point overlays, and
+    dst= save semantics on every entry point."""
+    rng = np.random.default_rng(1)
+
+    rgba = visu.scalar2rgba(rng.normal(size=7))
+    assert rgba.shape == (7, 4)
+    assert np.all((rgba >= 0) & (rgba <= 1))
+    accent = visu.get_tum_accent_cm()
+    assert accent.N == 4
+
+    tess = rng.uniform(1e8, 1e10, (4, 8, 3, 5))
+    raster = {"d": np.arange(4), "r": np.linspace(1, 10, 8),
+              "e": np.linspace(-10, 10, 3), "a": np.linspace(-26, 26, 5)}
+    boxes = np.array([[5.0, 0, 0, 0.3, 2, 1, 1, 1, 0]])  # class at -2
+    pts = np.column_stack([rng.uniform(1, 9, 50), rng.uniform(-3, 3, 50),
+                           rng.uniform(-1, 1, 50), rng.uniform(0, 1, 50)])
+
+    # 3D cube view (dst saves instead of showing).
+    out = tmp_path / "cube.png"
+    visu.visu_radar_tesseract(tess, "rae", raster, dst=str(out))
+    assert out.exists()
+    visu.visu_radar_tesseract(tess, "rae", raster, cart=True,
+                              dst=str(tmp_path / "cube_cart.png"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        visu.visu_3d_radar_data(tess[0], "rea", cart=True, show=False)
+
+    # 2D views: polar + cartesian, flipped dims, overlays everywhere.
+    for dims in ("ra", "ar", "ea", "ae"):
+        out = tmp_path / f"grid_{dims}.png"
+        visu.visu_radar_tesseract(tess, dims, raster, boxes=boxes,
+                                  points=pts, cart=True, dst=str(out))
+        assert out.exists()
+    visu.visu_radar_tesseract(tess, "dr", raster,
+                              dst=str(tmp_path / "grid_dr.png"))
+    with _pytest.raises(ValueError):
+        visu.visu_radar_tesseract(tess, "dr", raster, cart=True,
+                                  show=False)
+
+    # dst semantics on camera / lidar entry points.
+    img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    visu.visu_camera_data(img, dst=str(tmp_path / "cam2.png"))
+    assert (tmp_path / "cam2.png").exists()
+    visu.visu_lidar_data(pts, boxes, dst=str(tmp_path / "lidar2.png"))
+    assert (tmp_path / "lidar2.png").exists()
+
+
 def test_nsga2_sorting():
     F = np.array([[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [2.0, 2.0]])
     fronts = fast_non_dominated_sort(F)
