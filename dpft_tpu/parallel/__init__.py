@@ -1,5 +1,6 @@
 from dpft_tpu.parallel.mesh import (  # noqa: F401
     create_mesh, data_sharding, replicated_sharding, data_parallel_size,
+    maybe_initialize_distributed, process_local_indices,
 )
 from dpft_tpu.parallel.tp import (  # noqa: F401
     place_tensor_parallel, tp_spec_for_shape,

@@ -15,21 +15,71 @@ sharding route through one abstraction).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import logging
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+logger = logging.getLogger(__name__)
+
 
 def data_parallel_size(batch_size: int,
-                       n_devices: Optional[int] = None) -> int:
-    """Largest device count <= n_devices that divides the batch size."""
+                       n_devices: Optional[int] = None,
+                       require_full: bool = False) -> int:
+    """Largest device count <= n_devices that divides the batch size.
+
+    Logs when devices would sit idle; with require_full (multi-chip
+    production runs, config computing.require_full_mesh) an indivisible
+    batch fails loudly instead.
+    """
     n = n_devices if n_devices is not None else jax.device_count()
     for d in range(min(n, batch_size), 0, -1):
         if batch_size % d == 0 and n % d == 0:
+            if d < n:
+                msg = (f"batch_size={batch_size} uses only {d} of {n} "
+                       f"devices on the 'data' axis ({n - d} idle); pick a "
+                       f"batch size divisible by the device count")
+                if require_full:
+                    raise ValueError(msg)
+                logger.warning(msg)
             return d
     return 1
+
+
+def maybe_initialize_distributed(config: Dict[str, Any]) -> bool:
+    """Multi-host (DCN) setup: ``jax.distributed.initialize`` guarded by
+    ``computing.multi_host`` (beyond reference scope - the reference is
+    single-process, SURVEY.md section 2.9).
+
+    Coordinator/process parameters come from ``computing`` when present
+    (coordinator_address, num_processes, process_id) and are otherwise
+    auto-detected by JAX (TPU pod metadata / env vars). After this,
+    ``jax.devices()`` spans all hosts and ``create_mesh`` lays ICI inside
+    a host-slice and DCN across; each process feeds its local shard of
+    the global batch. Returns True when initialization ran.
+    """
+    comp = config.get("computing", {})
+    if not comp.get("multi_host"):
+        return False
+    kwargs = {k: comp[k] for k in
+              ("coordinator_address", "num_processes", "process_id")
+              if comp.get(k) is not None}
+    jax.distributed.initialize(**kwargs)
+    logger.info("jax.distributed initialized: process %d of %d, "
+                "%d global devices", jax.process_index(),
+                jax.process_count(), jax.device_count())
+    return True
+
+
+def process_local_indices(n: int, process_index: Optional[int] = None,
+                          process_count: Optional[int] = None) -> np.ndarray:
+    """Round-robin shard of dataset indices for this host in multi-host
+    data parallelism (identity on a single process)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return np.arange(pi, n, pc)
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1,

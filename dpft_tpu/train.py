@@ -24,6 +24,11 @@ def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
     epoch = 0
 
     config = load_config(cfg)
+
+    # Multi-host (DCN) data parallelism: no-op unless computing.multi_host.
+    from dpft_tpu.parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(config)
+
     rng = set_seed(config["computing"]["seed"])
 
     train_dataset = init_dataset(config["dataset"], src=src, split="train",

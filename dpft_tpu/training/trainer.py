@@ -276,7 +276,11 @@ class CentralizedTrainer:
         mp = int(self.config.get("computing", {}).get("model_parallel", 1))
         n_data_devices = max(jax.device_count() // mp, 1)
         mesh = create_mesh(
-            data=data_parallel_size(batch_size, n_data_devices), model=mp)
+            data=data_parallel_size(
+                batch_size, n_data_devices,
+                require_full=bool(self.config.get("computing", {}).get(
+                    "require_full_mesh"))),
+            model=mp)
 
         # --- Optimizer with the epoch-factor schedule.
         steps_per_epoch = max(len(train_loader), 1)

@@ -1,8 +1,10 @@
 """Visual exploration of a raw K-Radar sample.
 
-Parity: reference scripts/explore.py:12-76 - loads the first raw training
-sample with boxes, shows the front camera image, the lidar cloud and an
-aggregated radar tesseract view with overlays.
+Parity: reference scripts/explore.py:12-76 (and explore.ipynb) - loads the
+first raw training sample with boxes, shows the front camera image, the
+lidar cloud and an aggregated radar tesseract view with overlays. The
+``# %%`` markers make this runnable cell-by-cell in any Jupyter-compatible
+editor, standing in for the reference notebook.
 """
 
 import argparse
@@ -32,6 +34,7 @@ def main(src: str, cfg: str) -> None:
     sequence_paths = preparator.get_sequence_paths(sequence)
     sequence_paths.pop("description", None)
 
+    # %% Find the first sample with multiple boxes
     sample = None
     boxes = None
     for cand in sequence_paths.values():
@@ -40,13 +43,16 @@ def main(src: str, cfg: str) -> None:
         if boxes.shape[0] > 1:
             break
 
+    # %% Camera view
     camera_front, _ = preparator.get_camera_data(sample["camera_front"])
     visu.visu_camera_data(camera_front[:, :, ::-1])
 
+    # %% Lidar cloud with boxes
     point_cloud = preparator.get_lidar_data(sample["os2"])
     visu.visu_lidar_data(point_cloud, boxes, xlim=[-100, 100],
                          ylim=[-100, 100])
 
+    # %% Radar tesseract BEV aggregation with overlays
     tesseract = preparator.get_radar_tesseract(sample["radar_tesseract"])
     raster = {
         "r": radar_info.range_raster,
