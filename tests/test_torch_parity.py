@@ -280,25 +280,9 @@ def test_ms_deform_attn_core_torch_parity():
                               jnp.asarray(att))
 
     # torch transliteration (Deformable-DETR ms_deform_attn_core_pytorch)
-    tvalue = torch.from_numpy(value)
-    tlocs = torch.from_numpy(locs)
-    tatt = torch.from_numpy(att)
-    value_list = tvalue.split([h * w for h, w in shapes], dim=1)
-    sampling_grids = 2 * tlocs - 1
-    sampling_value_list = []
-    for lid, (h, w) in enumerate(shapes):
-        value_l_ = value_list[lid].flatten(2).transpose(1, 2).reshape(
-            B * H, D, h, w)
-        sampling_grid_l_ = sampling_grids[:, :, :, lid].transpose(
-            1, 2).flatten(0, 1)
-        sampling_value_l_ = torch.nn.functional.grid_sample(
-            value_l_, sampling_grid_l_, mode="bilinear",
-            padding_mode="zeros", align_corners=False)
-        sampling_value_list.append(sampling_value_l_)
-    attention_weights = tatt.transpose(1, 2).reshape(B * H, 1, N, L * P)
-    output = (torch.stack(sampling_value_list, dim=-2).flatten(-2)
-              * attention_weights).sum(-1).view(B, H * D, N)
-    expected = output.transpose(1, 2).contiguous().numpy()
+    expected = torch_refs.torch_ms_deform_attn_core(
+        torch.from_numpy(value), shapes, torch.from_numpy(locs),
+        torch.from_numpy(att)).numpy()
 
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4,
                                atol=1e-5)

@@ -479,3 +479,33 @@ def randomize_bn_stats(module: nn.Module, seed: int = 0) -> None:
                                              generator=gen) * 0.5)
             m.running_var.copy_(
                 torch.rand(m.running_var.shape, generator=gen) * 1.5 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale deformable attention core (Deformable-DETR
+# ms_deform_attn_core_pytorch transliteration; the reference consumes the
+# CUDA equivalent at src/dprt/models/layers/ms_deform_attn.py:27-68).
+# ---------------------------------------------------------------------------
+
+def torch_ms_deform_attn_core(value: torch.Tensor, shapes,
+                              locations: torch.Tensor,
+                              attention: torch.Tensor) -> torch.Tensor:
+    """value (B, Len, H, D), locations (B, N, H, L, P, 2) normalized,
+    attention (B, N, H, L, P) -> (B, N, H*D)."""
+    B, _, H, D = value.shape
+    N = locations.shape[1]
+    L, P = locations.shape[3], locations.shape[4]
+    value_list = value.split([h * w for h, w in shapes], dim=1)
+    sampling_grids = 2 * locations - 1
+    sampled = []
+    for lid, (h, w) in enumerate(shapes):
+        value_l_ = value_list[lid].flatten(2).transpose(1, 2).reshape(
+            B * H, D, h, w)
+        grid_l_ = sampling_grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)
+        sampled.append(F.grid_sample(
+            value_l_, grid_l_, mode="bilinear", padding_mode="zeros",
+            align_corners=False))
+    attention_weights = attention.transpose(1, 2).reshape(B * H, 1, N, L * P)
+    output = (torch.stack(sampled, dim=-2).flatten(-2)
+              * attention_weights).sum(-1).view(B, H * D, N)
+    return output.transpose(1, 2).contiguous()
