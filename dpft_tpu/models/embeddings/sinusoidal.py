@@ -30,7 +30,10 @@ def sinusoidal_embed_2d(batch: jnp.ndarray,
     """
     B, H, W, C = batch.shape
     assert C == num_feats, (C, num_feats)
-    dtype = batch.dtype
+    # The encodings are computed in float32 regardless of the compute dtype:
+    # the 10000^(2i/C) frequency table and the cumulative positions lose
+    # precision in bfloat16, and the table is tiny (computed once per jit).
+    dtype = jnp.float32
 
     y_embed = jnp.broadcast_to(
         jnp.arange(1, H + 1, dtype=dtype)[None, :, None], (B, H, W))
@@ -55,7 +58,7 @@ def sinusoidal_embed_2d(batch: jnp.ndarray,
         (jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])), axis=4
     ).reshape(B, H, W, -1)
 
-    return batch + pos_x + pos_y
+    return (batch.astype(jnp.float32) + pos_x + pos_y).astype(batch.dtype)
 
 
 class MultiLevelSinusoidalEmbedding(nn.Module):

@@ -43,10 +43,11 @@ def with_pos_embed(tensor: jnp.ndarray,
     return tensor if pos is None else tensor + pos
 
 
-def _dense(features, in_features, name, use_bias=True):
+def _dense(features, in_features, name, use_bias=True, dtype=jnp.float32):
     return nn.Dense(features, use_bias=use_bias,
                     kernel_init=torch_linear_kernel_init,
-                    bias_init=torch_linear_bias_init(in_features), name=name)
+                    bias_init=torch_linear_bias_init(in_features),
+                    dtype=dtype, name=name)
 
 
 class MLFusion(nn.Module):
@@ -60,6 +61,9 @@ class MLFusion(nn.Module):
     activation: str = "ReLU"
     dropout: float = 0.0
     norm: bool = False
+    # Mixed precision: matmuls/attention in `dtype` (params stay float32);
+    # LayerNorms are pinned to float32 for numerical stability.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self,
@@ -80,11 +84,13 @@ class MLFusion(nn.Module):
         # --- Self-attention over queries.
         qk = with_pos_embed(query, query_positions)
         attn = MultiheadAttention(self.d_model, self.n_heads,
-                                  dropout=self.dropout, name="self_attn")(
+                                  dropout=self.dropout, dtype=self.dtype,
+                                  name="self_attn")(
             qk, qk, query, deterministic=det)
         out = query + nn.Dropout(self.dropout)(attn, deterministic=det)
         if self.norm:
-            out = nn.LayerNorm(epsilon=1e-5, name="norm1")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="norm1")(out)
 
         # --- Deformable cross-attention over this view's feature levels.
         spatial_shapes = tuple(
@@ -95,20 +101,23 @@ class MLFusion(nn.Module):
         ref = jnp.repeat(reference_points[:, :, None, :],
                          len(spatial_shapes), axis=2)
         cross = MSDeformAttn(self.d_model, len(spatial_shapes), self.n_heads,
-                             self.n_points, name="ms_deform_attn")(
+                             self.n_points, dtype=self.dtype,
+                             name="ms_deform_attn")(
             with_pos_embed(out, query_positions), ref, flat, spatial_shapes)
         out = out + nn.Dropout(self.dropout)(cross, deterministic=det)
         if self.norm:
-            out = nn.LayerNorm(epsilon=1e-5, name="norm2")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="norm2")(out)
 
         # --- Feed-forward.
         act = get_activation(self.activation)
-        h = _dense(self.d_ffn, self.d_model, "ffn1")(out)
+        h = _dense(self.d_ffn, self.d_model, "ffn1", dtype=self.dtype)(out)
         h = nn.Dropout(self.dropout)(act(h), deterministic=det)
-        h = _dense(self.d_model, self.d_ffn, "ffn2")(h)
+        h = _dense(self.d_model, self.d_ffn, "ffn2", dtype=self.dtype)(h)
         out = out + nn.Dropout(self.dropout)(h, deterministic=det)
         if self.norm:
-            out = nn.LayerNorm(epsilon=1e-5, name="norm3")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="norm3")(out)
 
         return out
 
@@ -126,6 +135,7 @@ class MPFusion(nn.Module):
     dropout: float = 0.0
     norm: bool = False
     reduction: str = "mean"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self,
@@ -147,7 +157,7 @@ class MPFusion(nn.Module):
             views.append(MLFusion(
                 self.d_model, self.d_ffn, n_levels[v], n_heads[v],
                 n_points[v], self.activation, self.dropout, self.norm,
-                name=f"ms_deform_attn{v}")(
+                dtype=self.dtype, name=f"ms_deform_attn{v}")(
                     query, batch[v], reference_points[v], query_positions,
                     deterministic))
         queries = jnp.stack(views, axis=-1)  # (B, N, C, V)
@@ -162,26 +172,28 @@ class MPFusion(nn.Module):
         if self.reduction in {"unary", "linear"}:
             # (B, N, C, V) -> (B, N, C*V) row-major (c-major, v-minor),
             # identical to the reference's .view ordering.
-            return _dense(self.d_model, CV, "reduction",
-                          use_bias=False)(queries.reshape(B, N, CV))
+            return _dense(self.d_model, CV, "reduction", use_bias=False,
+                          dtype=self.dtype)(queries.reshape(B, N, CV))
         if self.reduction == "cross-attn":
             kv = queries.reshape(B, N, CV)
             return MultiheadAttention(
                 self.d_model, min(n_heads), dropout=self.dropout,
-                kdim=CV, vdim=CV, name="reduction")(
+                kdim=CV, vdim=CV, dtype=self.dtype, name="reduction")(
                 with_pos_embed(query, query_positions), kv, kv,
                 deterministic=deterministic)
         # 'ffn' reduction (residual block, reference mpfusion.py:450-470)
         act = get_activation(self.activation)
         q = queries.reshape(B, N, CV)
-        out = _dense(CV, CV, "red_ffn1")(q)
+        out = _dense(CV, CV, "red_ffn1", dtype=self.dtype)(q)
         out = nn.Dropout(self.dropout)(act(out), deterministic=deterministic)
-        out = _dense(self.d_model, CV, "red_ffn2")(out)
+        out = _dense(self.d_model, CV, "red_ffn2", dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        down = _dense(self.d_model, CV, "red_downsample")(q)
+        down = _dense(self.d_model, CV, "red_downsample",
+                      dtype=self.dtype)(q)
         out = down + out
         if self.norm:
-            out = nn.LayerNorm(epsilon=1e-5, name="red_norm1")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="red_norm1")(out)
         return out
 
 
@@ -251,6 +263,7 @@ class IMPFusion(nn.Module):
     norm: bool = False
     reduction: str = "mean"
     head: Optional[nn.Module] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self,
@@ -291,7 +304,8 @@ class IMPFusion(nn.Module):
             query = MPFusion(
                 self.m_views, self.d_model, self.d_ffn, self.n_levels,
                 self.n_heads, self.n_points, self.activation, self.dropout,
-                self.norm, self.reduction, name=f"fusion{it}")(
+                self.norm, self.reduction, dtype=self.dtype,
+                name=f"fusion{it}")(
                     query, batch, reference_points, query_pos, deterministic)
             # Independent head per iteration (reference deepcopies the head
             # template, mpfusion.py:585,601-611): re-instantiate the module
@@ -308,7 +322,9 @@ class IMPFusion(nn.Module):
 
 
 def build_mpfusion(config: Dict[str, Any], head=None) -> IMPFusion:
+    from dpft_tpu.models.layers.common import get_compute_dtype
     return IMPFusion(
+        dtype=get_compute_dtype(config),
         i_iter=config.get("i_iter", 1),
         m_views=config.get("m_views", 1),
         d_model=config.get("d_model", 256),

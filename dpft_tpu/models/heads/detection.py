@@ -78,11 +78,14 @@ class LinearDetectionHead(nn.Module):
         logits = _Branch(out_channels=self.num_classes, num_layers=n_cls,
                          name="class_head", **kw)(batch, deterministic)
 
+        # Outputs are cast to float32: they feed the set loss / Hungarian
+        # matcher / metrics, which should run in full precision even when
+        # the network computes in bfloat16. (No-op for float32 compute.)
         return {
-            "class": logits,
-            "center": center + ref["center"][..., :3],
-            "size": nn.relu(size),
-            "angle": jnp.tanh(angle),
+            "class": logits.astype(jnp.float32),
+            "center": (center + ref["center"][..., :3]).astype(jnp.float32),
+            "size": nn.relu(size).astype(jnp.float32),
+            "angle": jnp.tanh(angle).astype(jnp.float32),
         }
 
 
@@ -91,6 +94,7 @@ class UnaryDetectionHead(LinearDetectionHead):
 
 
 def build_detection_head(name: str, config: Dict[str, Any]):
+    from dpft_tpu.models.layers.common import get_compute_dtype
     cls = UnaryDetectionHead if "unary" in name.lower() else LinearDetectionHead
     if "unary" not in name.lower() and "linear" not in name.lower():
         raise ValueError(f"Unknown detection head: {name}")
@@ -101,4 +105,5 @@ def build_detection_head(name: str, config: Dict[str, Any]):
         num_cls_layers=config.get("num_cls_layers", 1),
         use_bias=config.get("bias", False),
         dropout=config.get("dropout", 0.0),
+        dtype=get_compute_dtype(config),
     )

@@ -52,9 +52,15 @@ class MultiheadAttention(nn.Module):
         vdim = self.vdim if self.vdim is not None else E
 
         if kdim == E and vdim == E:
-            # Packed qkv projection (torch same-dim fast path).
+            # Packed qkv projection (torch same-dim fast path). Params are
+            # float32; matmuls run in self.dtype (mixed precision).
             w = self.param("in_proj_kernel", _packed_xavier, (E, 3 * E))
             b = self.param("in_proj_bias", zeros_init, (3 * E,))
+            w = w.astype(self.dtype)
+            b = b.astype(self.dtype)
+            query = query.astype(self.dtype)
+            key = key.astype(self.dtype)
+            value = value.astype(self.dtype)
             q = query @ w[:, :E] + b[:E]
             k = key @ w[:, E:2 * E] + b[E:2 * E]
             v = value @ w[:, 2 * E:] + b[2 * E:]
@@ -73,7 +79,9 @@ class MultiheadAttention(nn.Module):
         v = v.reshape(B, M, H, D).transpose(0, 2, 1, 3)
 
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(D).astype(q.dtype)
-        probs = jax.nn.softmax(logits, axis=-1)
+        # Softmax in float32 for numerical stability under bfloat16.
+        probs = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         if self.dropout > 0.0 and not deterministic:
             probs = nn.Dropout(self.dropout)(probs, deterministic=False)
 

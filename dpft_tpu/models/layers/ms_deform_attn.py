@@ -88,7 +88,9 @@ class MSDeformAttn(nn.Module):
             H * L * P, kernel_init=zeros_init, bias_init=zeros_init,
             dtype=self.dtype, name="attention_weights",
         )(query).reshape(B, N, H, L * P)
-        att = nn.softmax(att, axis=-1).reshape(B, N, H, L, P)
+        # Softmax in float32 for numerical stability under bfloat16.
+        att = nn.softmax(att.astype(jnp.float32), axis=-1).astype(
+            self.dtype).reshape(B, N, H, L, P)
 
         # Normalize offsets by each level's (w, h) (reference :185-191).
         normalizer = jnp.asarray(

@@ -96,13 +96,24 @@ class CentralizedTrainer:
         # solver's data-dependent while loops execute ~1000x slower per
         # iteration when embedded in the large train-step executable
         # (measured: 575 ms -> 30 ms backward at flagship shapes by
-        # hoisting the matcher out). Three programs, forward run ONCE:
-        #   1. forward under jax.vjp (returns primal output + pullback,
-        #      a jax.tree_util.Partial pytree of residuals),
-        #   2. the matcher on the primal output,
-        #   3. the tail: loss grad wrt the output, one model backward via
-        #      the saved pullback, optimizer update, metrics.
+        # hoisting the matcher out). Two structures for the rest:
+        #
+        # recompute (default): matcher consumes a dedicated forward; the
+        #   grad program re-runs the forward internally (same dropout rng
+        #   => identical activations). The duplicate forward costs ~30 ms
+        #   of a ~0.5 s step at flagship B=4 (f32, v5e).
+        # forward_once (train.forward_once): forward under jax.vjp; the
+        #   pullback (a pytree of residuals) crosses the jit boundary and
+        #   the tail runs ONE model backward. Numerically identical, but
+        #   the residual stash must live in HBM across the matcher program
+        #   - 9.44 GB at flagship B=4 f32 (measured via eval_shape), which
+        #   EXCEEDS a 16 GB v5e's headroom and OOMs. Saving 30 ms of
+        #   recompute is not worth gigabytes of HBM on this hardware, so
+        #   recompute is the default; forward_once remains available (and
+        #   tested) for small models / memory-rich configurations.
         split_matching = loss_fn is not None and loss_fn.use_assigner
+        forward_once = bool(self.config.get("train", {}).get(
+            "forward_once", False))
 
         def state_variables(state):
             variables = {"params": state["params"]}
@@ -110,17 +121,25 @@ class CentralizedTrainer:
                 variables["batch_stats"] = state["batch_stats"]
             return variables
 
+        def forward_train(state, batch, rng):
+            """Train-mode forward for the matcher program (recompute mode).
+
+            The grad program re-runs this forward with the same dropout
+            rng, so the matcher sees identical activations."""
+            has_bn = "batch_stats" in state
+            out, _ = model.apply(
+                state_variables(state), batch, train=True,
+                mutable=["batch_stats"] if has_bn else [],
+                rngs={"dropout": rng})
+            return out
+
         def forward_train_vjp(state, batch, rng):
             """Forward once, returning the output AND its vjp pullback.
 
-            jax.vjp's pullback is a jax.tree_util.Partial - a pytree whose
-            leaves are the saved residuals - so it crosses the jit boundary
-            as ordinary device buffers. The matcher program runs on the
-            primal output, and the tail program closes the loop with ONE
-            model backward; the forward is never recomputed (previously the
-            split-matching mode re-ran it inside the grad program, ~33% of
-            step FLOPs duplicated).
-            """
+            The pullback is a pytree whose leaves are the saved residuals,
+            so it crosses the jit boundary as ordinary device buffers and
+            the tail program can run the model backward without
+            recomputing the forward."""
             variables = state_variables(state)
             has_bn = "batch_stats" in state
 
@@ -175,9 +194,10 @@ class CentralizedTrainer:
             return _update_state(state, total, losses, grads, updates,
                                  out, targets)
 
-        def train_step(state, batch, targets, rng):
-            """Monolithic step for the no-assigner mode (no Hungarian
-            loops, so nothing to hoist)."""
+        def train_step(state, batch, targets, rng, indices=None):
+            """Monolithic grad step. With `indices` (recompute mode) the
+            forward re-runs inside the grad program; without (no-assigner
+            mode) there are no Hungarian loops to hoist."""
             variables = state_variables(state)
             has_bn = "batch_stats" in state
 
@@ -187,7 +207,7 @@ class CentralizedTrainer:
                     vs, batch, train=True,
                     mutable=["batch_stats"] if has_bn else [],
                     rngs={"dropout": rng})
-                total, losses = loss_fn(out, targets)
+                total, losses = loss_fn(out, targets, indices=indices)
                 return total, (losses, updates, out)
 
             (total, (losses, updates, out)), grads = jax.value_and_grad(
@@ -215,12 +235,16 @@ class CentralizedTrainer:
         tp = mesh.shape.get("model", 1) > 1
 
         if split_matching:
-            fwd_vjp_jit = jax.jit(forward_train_vjp)
             fwd_eval_jit = jax.jit(forward_eval)
             match_jit = jax.jit(match_step)
-            # Donate the state and the vjp residuals: both are consumed.
-            tail_jit = jax.jit(train_tail, donate_argnums=(0, 1))
             eval_tail_jit = jax.jit(eval_tail)
+            if forward_once:
+                fwd_vjp_jit = jax.jit(forward_train_vjp)
+                # Donate state and vjp residuals: both are consumed.
+                tail_jit = jax.jit(train_tail, donate_argnums=(0, 1))
+            else:
+                fwd_train_jit = jax.jit(forward_train)
+                train_jit = jax.jit(train_step, donate_argnums=(0,))
         else:
             train_jit = jax.jit(train_step, donate_argnums=(0,))
             eval_jit = jax.jit(
@@ -246,11 +270,19 @@ class CentralizedTrainer:
             return tuple(jax.device_put(t, shard) for t in trees)
 
         if split_matching:
-            def train_fn(state, batch, targets, rng):
-                b, t = place_batch(batch, targets)
-                out, pullback, updates = fwd_vjp_jit(state, b, rng)
-                indices = match_jit(out, t)
-                return tail_jit(state, pullback, out, t, updates, indices)
+            if forward_once:
+                def train_fn(state, batch, targets, rng):
+                    b, t = place_batch(batch, targets)
+                    out, pullback, updates = fwd_vjp_jit(state, b, rng)
+                    indices = match_jit(out, t)
+                    return tail_jit(state, pullback, out, t, updates,
+                                    indices)
+            else:
+                def train_fn(state, batch, targets, rng):
+                    b, t = place_batch(batch, targets)
+                    out = fwd_train_jit(state, b, rng)
+                    indices = match_jit(out, t)
+                    return train_jit(state, b, t, rng, indices)
 
             def eval_fn(state, batch, targets):
                 b, t = place_batch(batch, targets)

@@ -131,8 +131,12 @@ def test_train_eval_export(pipeline):
 
 
 def test_dp_equals_single_device(pipeline):
-    """A DP-sharded step over 2 virtual devices == single-device step."""
+    """A DP-sharded step over 2 virtual devices == single-device step.
+
+    Runs in forward_once (jax.vjp) mode, giving the vjp trainer structure
+    e2e coverage; the pipeline test above covers the recompute default."""
     root, processed, config = pipeline
+    config = {**config, "train": dict(config["train"], forward_once=True)}
     from dpft_tpu.parallel import create_mesh
     from dpft_tpu.training.trainer import CentralizedTrainer, _to_jnp
 
