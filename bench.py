@@ -121,10 +121,14 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     sec_per_step = (time.perf_counter() - t0) / repetitions
 
     # FLOPs of the fwd+bwd+update program from XLA cost analysis (the
-    # matcher program's cost is negligible and loop-dependent).
+    # matcher program's cost is negligible and loop-dependent). Gated
+    # behind BENCH_FLOPS=1: re-tracing the grad program just to count
+    # FLOPs takes minutes at flagship shapes.
     from dpft_tpu.training.loss import Loss  # noqa: F401 (doc pointer)
     flops = 0.0
     try:
+        if os.environ.get("BENCH_FLOPS", "0") != "1":
+            raise RuntimeError("skipped (set BENCH_FLOPS=1 to measure)")
         loss_fn = trainer.loss_fn
 
         def grad_step(params, b, t, idx):
@@ -137,17 +141,21 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
                 return total
             return jax.grad(compute)(params)
 
+        fwd_eval = jax.jit(lambda v, b: model.apply(v, b, train=False))
         idx = jax.jit(loss_fn.match)(
-            model.apply({"params": state["params"],
-                         "batch_stats": state["batch_stats"]},
-                        jbatch, train=False), jtargets)
+            fwd_eval({"params": state["params"],
+                      "batch_stats": state["batch_stats"]}, jbatch),
+            jtargets)
+        # cost_analysis straight from the lowering: no second multi-minute
+        # backend compile of the grad program just to count FLOPs.
         cost = jax.jit(grad_step).lower(
-            state["params"], jbatch, jtargets, idx).compile().cost_analysis()
+            state["params"], jbatch, jtargets, idx).cost_analysis()
         if isinstance(cost, list):
             cost = cost[0] if cost else {}
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    except Exception:
-        pass
+    except Exception as e:
+        import sys
+        print(f"flops probe unavailable: {e}", file=sys.stderr)
 
     achieved = flops / sec_per_step if flops else 0.0
     return {
