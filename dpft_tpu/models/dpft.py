@@ -15,6 +15,7 @@ parameters.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
@@ -44,7 +45,9 @@ class DPFT(nn.Module):
         features: Dict[str, Dict[str, jnp.ndarray]] = {}
 
         for name in self.inputs:
-            feats = self.backbones[name](batch[name], train=train)
+            # `train` positional: the remat wrapper's static_argnums only
+            # reaches positional arguments (_maybe_remat).
+            feats = self.backbones[name](batch[name], train)
             if self.skiplinks.get(name, False):
                 # Raw data becomes level '0', inserted in front
                 # (reference dprt.py:164-179,221-225).
@@ -73,6 +76,31 @@ class DPFT(nn.Module):
         return out
 
 
+def _maybe_remat(module: nn.Module, enabled: bool) -> nn.Module:
+    """Wraps a backbone in flax's lifted rematerialization.
+
+    `computing.remat: true` drops the backbone activations after the
+    forward and recomputes them during the backward — the standard TPU
+    HBM-for-FLOPs trade. The backbones hold nearly all of the forward's
+    activation memory (the high-resolution conv stages; the fusion
+    decoder is tiny), so remat buys batch-size headroom — and shrinks the
+    `train.forward_once` residual stash that must persist across the
+    hoisted matcher program (9.44 GB -> the decoder's share at flagship
+    B=4). The gradients are bitwise-identical; only the schedule changes.
+    """
+    if not enabled:
+        return module
+    cls = type(module)
+    kwargs = {f.name: getattr(module, f.name)
+              for f in dataclasses.fields(module)
+              if f.name not in ("parent", "name")}
+    # __call__(self, batch, train=False): `train` selects BatchNorm
+    # branches, so it must be static under jax.checkpoint. It must also
+    # be passed POSITIONALLY at the call site (static_argnums does not
+    # reach kwargs); flax's lifted core_fn sees (scope, batch, train).
+    return nn.remat(cls, static_argnums=(2,))(**kwargs)
+
+
 def from_config(config: Dict[str, Any]) -> DPFT:
     """Builds the DPFT module tree from a kradar*.json-style config.
 
@@ -87,7 +115,8 @@ def from_config(config: Dict[str, Any]) -> DPFT:
         return dict(computing | sub)
 
     backbones = {
-        k: build_backbone(v["name"], merged(v))
+        k: _maybe_remat(build_backbone(v["name"], merged(v)),
+                        bool(computing.get("remat", False)))
         for k, v in model.get("backbones", {}).items()
     }
     necks = {
