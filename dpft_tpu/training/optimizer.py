@@ -58,3 +58,22 @@ def build_optimizer(name: str, **config: Any) -> Callable[[ScalarOrSchedule], op
     factory.base_lr = float(config.get("lr", 1e-3))
     factory.name = name
     return factory
+
+
+def wrap_accumulation(tx: optax.GradientTransformation,
+                      config: Any) -> optax.GradientTransformation:
+    """Gradient accumulation (`train.accumulate_steps`, default 1).
+
+    Wraps the transformation in optax.MultiSteps: gradients of k
+    consecutive micro-batches are averaged and applied as ONE optimizer
+    update, so a memory-bound chip trains at k-fold effective batch size
+    (combine with `computing.remat` for maximum headroom). With the
+    per-batch loss being a batch mean, k accumulated micro-batches equal
+    one step on the concatenated batch exactly (up to f32 reduction
+    order). The LR schedule advances once per effective update. No
+    reference counterpart (torch reference updates every batch).
+    """
+    k = int(config.get("train", {}).get("accumulate_steps", 1))
+    if k <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=k)

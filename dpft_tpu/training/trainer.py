@@ -32,7 +32,7 @@ from dpft_tpu.parallel import (create_mesh, data_parallel_size,
                                data_sharding, place_tensor_parallel,
                                replicated_sharding)
 from dpft_tpu.training.loss import Loss, build_loss
-from dpft_tpu.training.optimizer import build_optimizer
+from dpft_tpu.training.optimizer import build_optimizer, wrap_accumulation
 from dpft_tpu.training.scheduler import as_step_schedule, build_scheduler
 
 
@@ -357,7 +357,8 @@ class CentralizedTrainer:
         schedule = as_step_schedule(self.scheduler_factor,
                                     self.optimizer_factory.base_lr,
                                     steps_per_epoch)
-        tx = self.optimizer_factory(schedule)
+        tx = wrap_accumulation(self.optimizer_factory(schedule),
+                               self.config)
 
         state = {
             "params": variables["params"],
