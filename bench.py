@@ -70,7 +70,10 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
         jax.block_until_ready(fwd(variables, batch))
         timings[i] = (time.perf_counter() - start) * 1e3
 
-    ms_per_frame = float(np.mean(timings)) / batch_size
+    # Median, not mean: the tunneled single-chip backend occasionally
+    # stalls for hundreds of ms on individual dispatches, which would
+    # otherwise dominate a 100-rep mean.
+    ms_per_frame = float(np.median(timings)) / batch_size
     return {
         "metric": "inference_ms_per_frame",
         "value": round(ms_per_frame, 3),
@@ -79,6 +82,7 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
         "baseline_source": BASELINE_SOURCE,
         "batch": batch_size,
         "dtype": compute_dtype or "float32",
+        "mean_ms_per_frame": round(float(np.mean(timings)) / batch_size, 3),
     }
 
 

@@ -147,6 +147,9 @@ class CentralizedEvaluator:
     def evaluate(self, checkpoint: str, data_loader: Iterable,
                  dst: Optional[str] = None) -> Dict[str, float]:
         model, variables, epoch, timestamp = model_registry.load(checkpoint)
+        # Checkpoints written with train.save_optimizer carry trainer state
+        # beside the model collections; model.apply must not see it.
+        variables = model_registry.model_collections(variables)
 
         writer = None
         if self.logging is not None and dst is not None:

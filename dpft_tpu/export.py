@@ -58,6 +58,7 @@ def main(src: str, cfg: str, checkpoint: str, dst: str, batch: int,
     from dpft_tpu.models import registry
 
     model, variables, epoch, timestamp = registry.load(checkpoint)
+    variables = registry.model_collections(variables)
     config = load_config(cfg)
 
     dataset = init_dataset(config["dataset"], src=src, split="test",

@@ -79,6 +79,18 @@ def parse_checkpoint_name(path: str) -> Tuple[int, str]:
     return int(parts[1].split(".")[0]), parts[0]
 
 
+# Trainer-state keys stored next to the model collections when
+# train.save_optimizer is enabled (exact resume); model.apply must only
+# ever see flax collections.
+TRAINER_STATE_KEYS = ("opt_state_leaves", "step")
+
+
+def model_collections(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Strips trainer-state keys, keeping only flax variable collections."""
+    return {k: v for k, v in variables.items()
+            if k not in TRAINER_STATE_KEYS}
+
+
 def load(path: str) -> Tuple[Any, Dict[str, Any], int, str]:
     """Loads (module, variables, epoch, timestamp) from a checkpoint."""
     import orbax.checkpoint as ocp

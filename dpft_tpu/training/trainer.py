@@ -368,6 +368,25 @@ class CentralizedTrainer:
         if "batch_stats" in variables:
             state["batch_stats"] = variables["batch_stats"]
 
+        # Exact resume (train.save_optimizer): the checkpoint carries the
+        # flattened optimizer state; graft it into the freshly built
+        # opt_state treedef (orbax restores plain dicts, so the optax
+        # namedtuple structure is rebuilt from tx.init). The reference
+        # never checkpoints optimizer state (SURVEY.md section 5), so this
+        # is opt-in and the default keeps restart-the-optimizer parity.
+        if variables is not None and "opt_state_leaves" in variables:
+            leaves, treedef = jax.tree_util.tree_flatten(state["opt_state"])
+            loaded = variables["opt_state_leaves"]
+            if len(loaded) != len(leaves):
+                raise ValueError(
+                    f"Checkpointed optimizer state has {len(loaded)} leaves"
+                    f" but the configured optimizer expects {len(leaves)};"
+                    " was the optimizer config changed between runs?")
+            state["opt_state"] = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(loaded[f"{i:05d}"], leaves[i].dtype)
+                          for i in range(len(leaves))])
+            state["step"] = jnp.asarray(variables["step"], jnp.int32)
+
         train_step, eval_step = self._make_steps(model, tx, mesh)
         state = train_step.place_state(state)
 
@@ -454,6 +473,13 @@ class CentralizedTrainer:
                 save_vars = {"params": state["params"]}
                 if "batch_stats" in state:
                     save_vars["batch_stats"] = state["batch_stats"]
+                if self.config.get("train", {}).get("save_optimizer"):
+                    # Flattened: orbax round-trips arrays, not the optax
+                    # namedtuple classes; restore rebuilds via tx.init.
+                    save_vars["opt_state_leaves"] = {
+                        f"{i:05d}": leaf for i, leaf in enumerate(
+                            jax.tree_util.tree_leaves(state["opt_state"]))}
+                    save_vars["step"] = state["step"]
                 saver.save(save_vars, self.config, ckpt)
 
         saver.wait()
