@@ -191,13 +191,14 @@ def iou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, iou, 0.0)
 
 
-def giou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
-    """Generalized IoU (N, 8, 3) x (M, 8, 3) -> (N, M), reference parity.
+def iou_giou3d(corners1: jnp.ndarray,
+               corners2: jnp.ndarray) -> tuple:
+    """(iou, giou) of yaw-box corner sets, sharing ONE clipping pass.
 
-    giou = iou - (evol - union*) / evol where evol is the axis-aligned
-    enclosing-box volume and union* is the union only where the pair
-    overlaps (0 otherwise) -- reproducing reference iou.py:185-208, which
-    yields -1 for valid non-overlapping pairs and -1 for invalid pairs.
+    The polygon clipping in `_pairwise_intersection_volume` dominates the
+    cost of both metrics; computing IoU and GIoU together halves the work
+    for callers that need both (evaluation/metric.py computes mAP3D and
+    mGIoU3D per train step, reference trainer.py:136).
     """
     inter = _pairwise_intersection_volume(corners1, corners2)
     v1 = bbox.get_box_volume_from_corners(corners1)
@@ -217,7 +218,18 @@ def giou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
 
     giou = iou - (evol - union_eff) / evol_safe
     giou = jnp.where(evol == 0, 0.0, giou)
-    return jnp.where(valid, giou, -1.0)
+    return iou, jnp.where(valid, giou, -1.0)
+
+
+def giou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
+    """Generalized IoU (N, 8, 3) x (M, 8, 3) -> (N, M), reference parity.
+
+    giou = iou - (evol - union*) / evol where evol is the axis-aligned
+    enclosing-box volume and union* is the union only where the pair
+    overlaps (0 otherwise) -- reproducing reference iou.py:185-208, which
+    yields -1 for valid non-overlapping pairs and -1 for invalid pairs.
+    """
+    return iou_giou3d(corners1, corners2)[1]
 
 
 def iou3d_batched(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
