@@ -74,6 +74,17 @@ def wrap_accumulation(tx: optax.GradientTransformation,
     reference counterpart (torch reference updates every batch).
     """
     k = int(config.get("train", {}).get("accumulate_steps", 1))
-    if k <= 1:
-        return tx
-    return optax.MultiSteps(tx, every_k_schedule=k)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    if config.get("train", {}).get("flat_optimizer"):
+        # optax.flatten: moments (and any accumulator) live in ONE ravelled
+        # buffer per state leaf kind instead of one per parameter array
+        # (~340 buffers -> ~4 at flagship scale). AdamW/SGD/... updates are
+        # elementwise, so the step is bitwise identical; fewer, larger
+        # buffers mean fewer kernels in the update and far fewer outputs
+        # crossing the jitted-step boundary every step. Incompatible with
+        # computing.model_parallel (TP shards optimizer moments by the
+        # parameter shape rules, parallel/tp.py) - the trainer rejects
+        # that combination.
+        tx = optax.flatten(tx)
+    return tx

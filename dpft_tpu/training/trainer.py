@@ -344,6 +344,12 @@ class CentralizedTrainer:
         # optional tensor parallelism via computing.model_parallel.
         batch_size = next(iter(first_batch.values())).shape[0]
         mp = int(self.config.get("computing", {}).get("model_parallel", 1))
+        if mp > 1 and self.config.get("train", {}).get("flat_optimizer"):
+            raise ValueError(
+                "train.flat_optimizer packs the optimizer moments into one"
+                " ravelled buffer, which cannot be sharded by the"
+                " per-parameter shape rules tensor parallelism uses"
+                " (parallel/tp.py); disable one of the two.")
         n_data_devices = max(jax.device_count() // mp, 1)
         mesh = create_mesh(
             data=data_parallel_size(
