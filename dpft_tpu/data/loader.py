@@ -26,6 +26,29 @@ def _collate(samples) -> Batch:
     return inputs, targets
 
 
+class Subset:
+    """Map-style view of a dataset restricted to the given indices.
+
+    Used for multi-host data parallelism: each process wraps the full
+    dataset in the Subset of its ``process_local_indices`` so the hosts
+    collectively feed disjoint shards of the global batch
+    (dpft_tpu.parallel.mesh). Attribute access falls through to the
+    underlying dataset (max_boxes, num_classes, ...)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, np.int64)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 0, drop_last: bool = False,

@@ -140,7 +140,8 @@ def detection_metrics_sample(inputs: Dict[str, jnp.ndarray],
                                  targets["gt_angle"])
 
     # ONE clipping pass feeds every class of both metrics.
-    iou, giou = iou_giou3d(corners, gt_corners)          # (N, M) each
+    iou, giou = iou_giou3d(corners, gt_corners,
+                           with_giou="mGIoU3D" in want)   # (N, M) each
 
     aps, gious = [], []
     for lbl in range(num_classes):

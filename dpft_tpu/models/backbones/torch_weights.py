@@ -62,19 +62,13 @@ def convert_resnet(state: Dict[str, np.ndarray]
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
-    def put(tree, path, leaf):
-        node = tree
-        for key in path[:-1]:
-            node = node.setdefault(key, {})
-        node[path[-1]] = leaf
-
     for key, value in state.items():
         if key.startswith("fc.") or key.endswith("num_batches_tracked"):
             continue
 
         m = re.match(r"^conv1\.weight$", key)
         if m:
-            put(params, ("conv1", "kernel"), _conv_kernel(value))
+            _put(params, ("conv1", "kernel"), _conv_kernel(value))
             continue
         m = re.match(r"^bn1\.(weight|bias|running_mean|running_var)$", key)
         if m:
@@ -84,7 +78,7 @@ def convert_resnet(state: Dict[str, np.ndarray]
         m = re.match(r"^layer(\d)\.(\d+)\.(conv\d)\.weight$", key)
         if m:
             block = f"layer{m.group(1)}_block{m.group(2)}"
-            put(params, (block, m.group(3), "kernel"), _conv_kernel(value))
+            _put(params, (block, m.group(3), "kernel"), _conv_kernel(value))
             continue
         m = re.match(r"^layer(\d)\.(\d+)\.(bn\d)\."
                      r"(weight|bias|running_mean|running_var)$", key)
@@ -96,7 +90,7 @@ def convert_resnet(state: Dict[str, np.ndarray]
         m = re.match(r"^layer(\d)\.(\d+)\.downsample\.0\.weight$", key)
         if m:
             block = f"layer{m.group(1)}_block{m.group(2)}"
-            put(params, (block, "down_conv", "kernel"), _conv_kernel(value))
+            _put(params, (block, "down_conv", "kernel"), _conv_kernel(value))
             continue
         m = re.match(r"^layer(\d)\.(\d+)\.downsample\.1\."
                      r"(weight|bias|running_mean|running_var)$", key)
@@ -111,20 +105,14 @@ def convert_resnet(state: Dict[str, np.ndarray]
 
 
 def _put_bn(params, stats, path, field, value):
-    def put(tree, p, leaf):
-        node = tree
-        for key in p[:-1]:
-            node = node.setdefault(key, {})
-        node[p[-1]] = leaf
-
     if field == "weight":
-        put(params, path + ("scale",), value)
+        _put(params, path + ("scale",), value)
     elif field == "bias":
-        put(params, path + ("bias",), value)
+        _put(params, path + ("bias",), value)
     elif field == "running_mean":
-        put(stats, path + ("mean",), value)
+        _put(stats, path + ("mean",), value)
     elif field == "running_var":
-        put(stats, path + ("var",), value)
+        _put(stats, path + ("var",), value)
 
 
 def _put(tree, path, leaf):

@@ -192,13 +192,16 @@ def iou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
 
 
 def iou_giou3d(corners1: jnp.ndarray,
-               corners2: jnp.ndarray) -> tuple:
+               corners2: jnp.ndarray,
+               with_giou: bool = True) -> tuple:
     """(iou, giou) of yaw-box corner sets, sharing ONE clipping pass.
 
     The polygon clipping in `_pairwise_intersection_volume` dominates the
     cost of both metrics; computing IoU and GIoU together halves the work
     for callers that need both (evaluation/metric.py computes mAP3D and
-    mGIoU3D per train step, reference trainer.py:136).
+    mGIoU3D per train step, reference trainer.py:136). with_giou=False
+    skips the enclosing-box half and returns (iou, None) — XLA would
+    dead-code it under jit anyway, but eager callers shouldn't pay.
     """
     inter = _pairwise_intersection_volume(corners1, corners2)
     v1 = bbox.get_box_volume_from_corners(corners1)
@@ -210,6 +213,8 @@ def iou_giou3d(corners1: jnp.ndarray,
         box_validity(corners1)[:, None], box_validity(corners2)[None, :]
     )
     iou = jnp.where(valid, iou, 0.0)
+    if not with_giou:
+        return iou, None
     union_eff = jnp.where(iou != 0, union, 0.0)
 
     enclosing = bbox.get_minimum_enclosing_box_corners(corners1, corners2)

@@ -74,12 +74,50 @@ def maybe_initialize_distributed(config: Dict[str, Any]) -> bool:
 
 
 def process_local_indices(n: int, process_index: Optional[int] = None,
-                          process_count: Optional[int] = None) -> np.ndarray:
+                          process_count: Optional[int] = None,
+                          even: bool = False) -> np.ndarray:
     """Round-robin shard of dataset indices for this host in multi-host
-    data parallelism (identity on a single process)."""
+    data parallelism (identity on a single process).
+
+    even=True pads every process to ceil(n / process_count) indices by
+    wrapping around, so all hosts see the SAME number of samples (and
+    therefore the same number of loader batches). Hosts must stay in
+    lockstep: the jitted step over the global mesh is a collective
+    program, and a host with one fewer batch would deadlock the others.
+    The wrap-around duplicates at most process_count - 1 samples per
+    epoch.
+    """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return np.arange(pi, n, pc)
+    idx = np.arange(pi, n, pc)
+    if even and pc > 1:
+        per = -(-n // pc)  # ceil
+        if len(idx) < per:
+            pad = np.arange(pi, pi + (per - len(idx)) * pc, pc) % max(n, 1)
+            idx = np.concatenate([idx, pad])
+    return idx
+
+
+def shard_dataset_for_process(dataset):
+    """Wraps a map-style dataset in the Subset of this host's indices
+    (identity when single-process). Lockstep-even across hosts."""
+    if jax.process_count() <= 1:
+        return dataset
+    from dpft_tpu.data.loader import Subset
+    return Subset(dataset, process_local_indices(len(dataset), even=True))
+
+
+def make_global_batch(tree, sharding: NamedSharding):
+    """Forms global device arrays from this host's process-local numpy
+    batch. Single-process this is device_put; multi-host each process
+    contributes its local shard of the global batch
+    (jax.make_array_from_process_local_data inserts it at the right rows
+    of the 'data'-sharded global array)."""
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1,

@@ -33,6 +33,12 @@ def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
 
     train_dataset = init_dataset(config["dataset"], src=src, split="train",
                                  config=config)
+    # Multi-host: each process iterates its own (lockstep-even) shard of
+    # the dataset; the per-host batches are assembled into the global
+    # array by the trainer (parallel.make_global_batch). Identity when
+    # single-process.
+    from dpft_tpu.parallel import shard_dataset_for_process
+    train_dataset = shard_dataset_for_process(train_dataset)
     # drop_last keeps the global batch constant (one jit signature, clean
     # sharding over the mesh 'data' axis); kept off only when the dataset
     # is smaller than one batch so tiny fixtures still train.
@@ -42,6 +48,7 @@ def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
         drop_last=len(train_dataset) >= batch_size)
     val_dataset = init_dataset(config["dataset"], src=src, split="val",
                                config=config)
+    val_dataset = shard_dataset_for_process(val_dataset)
     # pad_last: short final val batch is padded with a sample_mask; the
     # loss/metric weight the padded rows out.
     val_loader = load_dataset(val_dataset, config=config, shuffle=False,

@@ -117,9 +117,17 @@ def build_scheduler(name: str, **config: Any) -> Callable:
 
 
 def as_step_schedule(factor_fn: Callable, base_lr: float,
-                     steps_per_epoch: int) -> Callable:
-    """Turns an epoch-factor function into an optax per-update schedule."""
+                     steps_per_epoch: int, every_k: int = 1) -> Callable:
+    """Turns an epoch-factor function into an optax per-update schedule.
+
+    `steps_per_epoch` counts loader micro-batches. With gradient
+    accumulation (optax.MultiSteps, `every_k` > 1) the optimizer's update
+    counter only advances once per `every_k` micro-batches, so update
+    `count` corresponds to micro-batch `count * every_k`; without the
+    multiplier an epoch-based schedule would run `every_k` times too
+    slowly (e.g. a MultiStepLR milestone at epoch 10 firing at epoch 40).
+    """
     def schedule(count):
-        epoch = count // max(steps_per_epoch, 1)
+        epoch = (count * every_k) // max(steps_per_epoch, 1)
         return base_lr * factor_fn(epoch)
     return schedule

@@ -29,8 +29,8 @@ import optax
 from dpft_tpu.evaluation.metric import Metric, build_metric
 from dpft_tpu.models import registry as model_registry
 from dpft_tpu.parallel import (create_mesh, data_parallel_size,
-                               data_sharding, place_tensor_parallel,
-                               replicated_sharding)
+                               data_sharding, make_global_batch,
+                               place_tensor_parallel, replicated_sharding)
 from dpft_tpu.training.loss import Loss, build_loss
 from dpft_tpu.training.optimizer import build_optimizer, wrap_accumulation
 from dpft_tpu.training.scheduler import as_step_schedule, build_scheduler
@@ -266,8 +266,10 @@ class CentralizedTrainer:
             if single:
                 return tuple(_to_jnp(t) for t in trees)
             # device_put straight from host numpy: one transfer, already
-            # laid out with the target sharding.
-            return tuple(jax.device_put(t, shard) for t in trees)
+            # laid out with the target sharding. Multi-host: each process
+            # contributes its local rows of the global batch
+            # (parallel.make_global_batch).
+            return tuple(make_global_batch(t, shard) for t in trees)
 
         if split_matching:
             if forward_once:
@@ -342,7 +344,11 @@ class CentralizedTrainer:
 
         # --- Mesh sized to the batch (largest divisor of B over devices);
         # optional tensor parallelism via computing.model_parallel.
-        batch_size = next(iter(first_batch.values())).shape[0]
+        # Multi-host: every process feeds a local batch of this size, so
+        # the GLOBAL batch laid over the mesh 'data' axis is
+        # batch_size * process_count (parallel.make_global_batch).
+        batch_size = (next(iter(first_batch.values())).shape[0]
+                      * jax.process_count())
         mp = int(self.config.get("computing", {}).get("model_parallel", 1))
         if mp > 1 and self.config.get("train", {}).get("flat_optimizer"):
             raise ValueError(
@@ -358,11 +364,16 @@ class CentralizedTrainer:
                     "require_full_mesh"))),
             model=mp)
 
-        # --- Optimizer with the epoch-factor schedule.
+        # --- Optimizer with the epoch-factor schedule. The schedule is
+        # evaluated on the optimizer's update counter, which under
+        # accumulation (optax.MultiSteps) advances once per
+        # `accumulate_steps` micro-batches — as_step_schedule rescales.
         steps_per_epoch = max(len(train_loader), 1)
+        accum_k = max(
+            int(self.config.get("train", {}).get("accumulate_steps", 1)), 1)
         schedule = as_step_schedule(self.scheduler_factor,
                                     self.optimizer_factory.base_lr,
-                                    steps_per_epoch)
+                                    steps_per_epoch, every_k=accum_k)
         tx = wrap_accumulation(self.optimizer_factory(schedule),
                                self.config)
 
@@ -397,7 +408,9 @@ class CentralizedTrainer:
         state = train_step.place_state(state)
 
         writer = None
-        if self.logging is not None:
+        # Multi-host: TensorBoard scalars are global means (replicated
+        # outputs of the jitted step), so one writer on process 0 suffices.
+        if self.logging is not None and jax.process_index() == 0:
             assert dst is not None
             from torch.utils.tensorboard import SummaryWriter
             writer = SummaryWriter(log_dir=osp.join(dst, timestamp))
@@ -434,7 +447,9 @@ class CentralizedTrainer:
                 scalars.update(metrics)
                 global_step = i + epoch * steps_per_epoch
                 if self.logging == "step":
-                    lr = float(schedule(global_step))
+                    # schedule() takes an optimizer-update count; under
+                    # accumulation that is micro-batches // accum_k.
+                    lr = float(schedule(global_step // accum_k))
                     self._log_scalars(writer, {"learning_rate": lr},
                                       global_step, "train")
                     self._log_scalars(writer, scalars, global_step, "train")
@@ -449,7 +464,8 @@ class CentralizedTrainer:
                 self._log_scalars(writer, avg, epoch, "train")
                 self._log_scalars(
                     writer,
-                    {"learning_rate": float(schedule(epoch * steps_per_epoch))},
+                    {"learning_rate": float(
+                        schedule(epoch * steps_per_epoch // accum_k))},
                     epoch, "train")
 
             # ---- Validation epoch

@@ -347,8 +347,8 @@ def visu_2d_radar_data(grid: np.ndarray, dims: str,
                        roi: bool = True,
                        label: Optional[Tuple[str, str]] = None,
                        cart: bool = False, r_max: float = 1.0, cm=None,
-                       dst: Optional[str] = None, show: bool = True,
-                       **kwargs):
+                       ax=None, dst: Optional[str] = None,
+                       show: bool = True, **kwargs):
     """2D radar grid figure with optional lidar-point and box overlays
     (reference visu.py:402-492)."""
     valid_dims = {"ra", "ar", "ae", "ea"}
@@ -368,7 +368,7 @@ def visu_2d_radar_data(grid: np.ndarray, dims: str,
     flip = dims in {"ar", "ea"}
     shell_r = r_max if "e" in dims else None
 
-    fig, ax = _get_ax()
+    fig, ax = _get_ax(ax)
     cm = cm if cm is not None else "viridis"
 
     visu_2d_radar_grid(ax=ax, grid=grid, raster=raster, cart=cart,

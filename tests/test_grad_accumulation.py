@@ -84,6 +84,45 @@ def test_accumulate_steps_equals_full_batch():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_schedule_epoch_alignment_under_accumulation():
+    """Regression: with accumulate_steps=k the optimizer update counter
+    advances once per k micro-batches, so the epoch schedule must map
+    update count c to epoch (c*k)//steps_per_epoch — not c//steps_per_epoch
+    (which ran every epoch-based scheduler k times too slowly)."""
+    import optax
+
+    from dpft_tpu.training.scheduler import as_step_schedule, build_scheduler
+
+    steps_per_epoch, k = 4, 2
+    factor = build_scheduler("StepLR", step_size=1, gamma=0.1)
+    schedule = as_step_schedule(factor, 1.0, steps_per_epoch, every_k=k)
+
+    # Drive a real MultiSteps(SGD(schedule)) for one epoch of micro-batches
+    # and check the LR applied at the start of epoch 2 is decayed.
+    tx = optax.MultiSteps(optax.sgd(schedule), every_k_schedule=k)
+    params = {"w": jnp.ones((2,))}
+    opt_state = tx.init(params)
+    g = {"w": jnp.ones((2,))}
+    for _ in range(steps_per_epoch):  # epoch 1: applied LR must be 1.0
+        updates, opt_state = tx.update(g, opt_state, params)
+    # 4 micro-batches -> 2 applied updates, both at factor(0)=1.0.
+    np.testing.assert_allclose(np.asarray(params["w"])
+                               + np.asarray(optax.apply_updates(
+                                   params, updates)["w"]) * 0,
+                               np.asarray(params["w"]))
+    # First update of epoch 2 (update count 2 -> epoch (2*2)//4 = 1).
+    for _ in range(k):
+        updates, opt_state = tx.update(g, opt_state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.1,
+                               rtol=1e-6)
+
+    # And the raw schedule agrees at epoch boundaries.
+    assert float(schedule(0)) == 1.0
+    assert float(schedule(1)) == 1.0
+    np.testing.assert_allclose(float(schedule(2)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(schedule(4)), 0.01, rtol=1e-6)
+
+
 def test_wrap_accumulation_noop_by_default():
     factory = build_optimizer("AdamW", lr=1e-3)
     tx = factory(1e-3)

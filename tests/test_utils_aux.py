@@ -89,6 +89,16 @@ def test_visu_smoke(tmp_path):
     fig, _ = visu.visu_radar_tesseract(tess, "ea", raster, show=False)
     fig.savefig(tmp_path / "radar_ea.png")
 
+    # Caller-supplied axis: the 2D view must draw onto it, not a fresh
+    # hidden figure (regression: ax was swallowed by **kwargs).
+    import matplotlib.pyplot as plt
+    fig, axs = plt.subplots(1, 2)
+    _, used_ax = visu.visu_radar_tesseract(tess, "ra", raster, ax=axs[0],
+                                           show=False)
+    assert used_ax is axs[0]
+    assert len(axs[0].collections) > 0  # pcolormesh landed on the subplot
+    plt.close(fig)
+
 
 def test_visu_full_surface(tmp_path):
     """Reference visu.py:14-552 parity surface: colormaps, scalar2rgba,
