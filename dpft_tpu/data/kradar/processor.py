@@ -257,7 +257,9 @@ class KRadarProcessor:
             import jax
             D, R = tesseract.shape[:2]
             on_tpu = jax.default_backend() not in ("cpu",)
-            if on_tpu and (D & (D - 1)) == 0 and R % 8 == 0:
+            # The Pallas kernels carry bitonic sort networks on the doppler
+            # AND range axes: both must be powers of two (K-Radar: 64, 256).
+            if on_tpu and (D & (D - 1)) == 0 and (R & (R - 1)) == 0:
                 from dpft_tpu.ops.pallas.radar_reduce import \
                     reduce_tesseract_pallas
                 ra, ea = reduce_tesseract_pallas(tesseract)

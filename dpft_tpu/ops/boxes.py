@@ -17,6 +17,7 @@ i.e. corners 0-3 form the bottom face (CCW seen from +z), 4-7 the top face.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Unit-box corner signs for (x, y, z), matching the reference vertex order.
 # PERFORMANCE NOTE: do NOT realize these as a `(..., 1) * jnp.array((8,))`
@@ -26,10 +27,13 @@ import jax.numpy as jnp
 # tunneled TPU runtime by ~30x (measured: an unrelated 15 ms train-step
 # backward becomes 550 ms after running one such op; multiply-by-ones is
 # folded away and is harmless; the concatenation form below is harmless).
-# The sign tables are kept for documentation/tests.
-_X_SIGNS = jnp.array([-1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
-_Y_SIGNS = jnp.array([-1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0])
-_Z_SIGNS = jnp.array([-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0])
+# The sign tables are kept for documentation/tests. They are host numpy
+# (NOT jnp): module-level jnp constants would initialize the default JAX
+# backend at import time, and in this container that is the tunneled TPU
+# chip — any host-side process importing the package would grab it.
+_X_SIGNS = np.array([-1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
+_Y_SIGNS = np.array([-1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0])
+_Z_SIGNS = np.array([-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0])
 
 
 def get_box_corners(center: jnp.ndarray, size: jnp.ndarray,

@@ -24,14 +24,23 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dpft_tpu.ops import boxes as bbox
 
 _EPS = 1e-4  # validity-check tolerance (parity with reference iou.py:9,39)
-_GEOM_EPS = 1e-9  # geometric predicate tolerance
+# Geometric predicate tolerance. The clipping quads are centered at the
+# origin first (quad_intersection_area), so coordinates are box-sized
+# (meters) and f32 cross products carry ~1e-6 noise; 2e-6 keeps exact
+# boundary-contact vertices without admitting genuinely-outside points.
+# (With the old 1e-9 on uncentered ~50 m coordinates, flush-contact boxes
+# measured IoU anywhere in [0.20, 0.53] instead of 0.50.)
+_GEOM_EPS = 2e-6
 
 # Box faces as quadruples of corner indices (reference iou.py:11-18).
-_BOX_PLANES = jnp.array([
+# Host numpy, not jnp: module-level jnp constants would initialize the
+# default JAX backend (here: the tunneled TPU) at import time.
+_BOX_PLANES = np.array([
     [0, 1, 2, 3],
     [3, 2, 6, 7],
     [0, 1, 5, 4],
@@ -41,7 +50,7 @@ _BOX_PLANES = jnp.array([
 ])
 
 # Box faces as triangles (reference iou.py:44-57).
-_BOX_TRIANGLES = jnp.array([
+_BOX_TRIANGLES = np.array([
     [0, 1, 2], [0, 3, 2], [4, 5, 6], [4, 6, 7],
     [1, 5, 6], [1, 6, 2], [0, 4, 7], [0, 7, 3],
     [3, 2, 6], [3, 6, 7], [0, 1, 5], [0, 4, 5],
@@ -125,9 +134,16 @@ def quad_intersection_area(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     Collects the <= 24 boundary candidates of the intersection polygon,
     orders the valid ones by angle around their centroid, and applies the
     shoelace formula over the valid prefix.
+
+    Both quads are recentered on their joint mean first: the area is
+    translation-invariant, and the geometric predicates (containment
+    cross products, edge-intersection parameters) lose catastrophic f32
+    cancellation at field-scale coordinates (boxes sit up to ~72 m from
+    the origin in K-Radar; see _GEOM_EPS).
     """
-    p = _orient_ccw(p)
-    q = _orient_ccw(q)
+    shift = 0.5 * (jnp.mean(p, axis=0) + jnp.mean(q, axis=0))
+    p = _orient_ccw(p - shift)
+    q = _orient_ccw(q - shift)
 
     inter_pts, inter_valid = _edge_intersections(p, q)
     cand = jnp.concatenate([p, q, inter_pts], axis=0)          # (24, 2)
@@ -179,16 +195,7 @@ def iou3d(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
 
     Pairs involving invalid boxes get IoU 0 (reference iou.py:94-118).
     """
-    inter = _pairwise_intersection_volume(corners1, corners2)
-    v1 = bbox.get_box_volume_from_corners(corners1)  # (N,)
-    v2 = bbox.get_box_volume_from_corners(corners2)  # (M,)
-    union = v1[:, None] + v2[None, :] - inter
-    iou = inter / jnp.maximum(union, 1e-12)
-
-    valid = jnp.logical_and(
-        box_validity(corners1)[:, None], box_validity(corners2)[None, :]
-    )
-    return jnp.where(valid, iou, 0.0)
+    return iou_giou3d(corners1, corners2, with_giou=False)[0]
 
 
 def iou_giou3d(corners1: jnp.ndarray,

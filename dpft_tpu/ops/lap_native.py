@@ -26,9 +26,13 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> None:
-    subprocess.run(
+    proc = subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
-        check=True, capture_output=True)
+        capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"Building the native LAP solver failed (exit "
+            f"{proc.returncode}):\n{proc.stderr}")
 
 
 def load_library() -> ctypes.CDLL:

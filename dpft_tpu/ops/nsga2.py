@@ -71,12 +71,19 @@ def _sbx(rng, p1, p2, xl, xu, eta=3.0, prob=1.0):
 
 
 def _poly_mutation(rng, x, xl, xu, eta=3.0, prob=1.0):
+    """Standard polynomial mutation (Deb & Goyal; pymoo's PM operator):
+    delta shrinks with the gene's distance to its nearer bound, so genes
+    near a bound perturb inward instead of piling clipped mass onto it."""
+    span = max(xu - xl, 1e-12)
+    d1 = (x - xl) / span
+    d2 = (xu - x) / span
     u = rng.uniform(size=x.shape)
-    delta = np.where(u < 0.5,
-                     (2 * u) ** (1 / (eta + 1)) - 1,
-                     1 - (2 * (1 - u)) ** (1 / (eta + 1)))
+    mut_pow = 1.0 / (eta + 1.0)
+    lo = 2 * u + (1 - 2 * u) * (1 - d1) ** (eta + 1.0)
+    hi = 2 * (1 - u) + 2 * (u - 0.5) * (1 - d2) ** (eta + 1.0)
+    delta = np.where(u < 0.5, lo ** mut_pow - 1.0, 1.0 - hi ** mut_pow)
     do = rng.uniform(size=x.shape) < prob / max(x.shape[-1], 1)
-    return np.clip(np.where(do, x + delta * (xu - xl), x), xl, xu)
+    return np.clip(np.where(do, x + delta * span, x), xl, xu)
 
 
 def nsga2_minimize(evaluate: Callable[[np.ndarray],

@@ -123,12 +123,12 @@ def _ra_kernel(tess_ref, raster_ref, out_ref, scratch_e, scratch_d):
     ce = t - mean_e[:, :, None, :]
     scratch_d[1] = jnp.mean(ce * ce, axis=2)     # var_e (two-pass)
 
-    # Median over elevation: pad 37 -> 64 with +inf, bitonic, take rank 18.
+    # Median over elevation: pad E -> power of two with +inf (pads sort to
+    # the top), bitonic, then the rank formula for either parity of E.
     scratch_e[...] = jnp.full(scratch_e.shape, _INF, jnp.float32)
     scratch_e[:, :, :E, :] = t
     sorted_e = _bitonic_sort(scratch_e[...], axis=2)
-    scratch_d[2] = jax.lax.index_in_dim(sorted_e, (E - 1) // 2, 2,
-                                        keepdims=False)
+    scratch_d[2] = _median_sorted(sorted_e, 2, E)
 
     over_e_max = scratch_d[0]                    # (D, R_t, A)
     var_e = scratch_d[1]
@@ -224,8 +224,10 @@ def reduce_tesseract_pallas(tesseract: jnp.ndarray,
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(D, R, E, A) or (F, D, R, E, A) -> (ra (.., R, A, 6), ea (.., E, A, 6)).
 
-    Requires D a power of two and R divisible by r_tile (the K-Radar cube
-    is (64, 256, 37, 107)).
+    Requires D and R powers of two (both carry bitonic sort networks: the
+    doppler medians and the EA range median) and R divisible by r_tile;
+    the K-Radar cube is (64, 256, 37, 107). Other shapes: use
+    ops.radar_reduce.reduce_tesseract (the XLA path).
     """
     if tesseract.ndim == 5:
         fn = lambda t: reduce_tesseract_pallas(t, interpret=interpret,
@@ -233,7 +235,10 @@ def reduce_tesseract_pallas(tesseract: jnp.ndarray,
         return jax.vmap(fn)(tesseract)
 
     D, R, E, A = tesseract.shape
-    assert (D & (D - 1)) == 0, D
+    assert (D & (D - 1)) == 0, \
+        f"doppler axis must be a power of two, got {D}"
+    assert (R & (R - 1)) == 0, \
+        f"range axis must be a power of two (EA range sort), got {R}"
     assert R % r_tile == 0, (R, r_tile)
     e_pad = 1 << (E - 1).bit_length()
 

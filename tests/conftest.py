@@ -11,9 +11,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# On a loaded host the virtual-device threads can be starved past XLA:CPU's
+# 40 s collective-rendezvous termination default, which hard-aborts the
+# process mid-test (rendezvous.cc check failure). Tests only care about
+# correctness — give the rendezvous generous headroom.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

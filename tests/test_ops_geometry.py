@@ -191,6 +191,38 @@ def test_iou3d_random_vs_numpy(rng):
             assert abs(got[i, j] - want) < 2e-3, (i, j, got[i, j], want)
 
 
+def test_iou3d_flush_contact_far_from_origin():
+    """Regression: exact boundary-contact boxes at field-scale coordinates.
+
+    A prediction occupying exactly half a GT box (one face flush) has IoU
+    exactly 0.5 at ANY pose. With uncentered f32 clipping predicates the
+    measured IoU ranged [0.20, 0.53] for poses ~50 m from the origin
+    (catastrophic cancellation in the containment cross products);
+    quad_intersection_area now recenters the quads first."""
+    rng = np.random.default_rng(3)
+    N = 64
+    c = rng.uniform(-50, 50, (N, 2))
+    y = rng.uniform(-np.pi, np.pi, N)
+    gt_center = np.column_stack([c, np.zeros(N)]).astype(np.float32)
+    pr_center = np.column_stack([c[:, 0] + 0.5 * np.cos(y),
+                                 c[:, 1] + 0.5 * np.sin(y),
+                                 np.zeros(N)]).astype(np.float32)
+    gt = bbox.get_box_corners(jnp.asarray(gt_center)[:, None],
+                              jnp.tile(jnp.asarray([[2., 2., 2.]]),
+                                       (N, 1))[:, None],
+                              jnp.asarray(y, jnp.float32)[:, None])
+    pr = bbox.get_box_corners(jnp.asarray(pr_center)[:, None],
+                              jnp.tile(jnp.asarray([[1., 2., 2.]]),
+                                       (N, 1))[:, None],
+                              jnp.asarray(y, jnp.float32)[:, None])
+    v = jax.jit(jax.vmap(lambda a, b: iou_ops.iou3d(a, b)[0, 0]))(gt, pr)
+    np.testing.assert_allclose(np.asarray(v), 0.5, atol=1e-4)
+
+    # Identical boxes: IoU 1 at any pose.
+    w = jax.jit(jax.vmap(lambda a: iou_ops.iou3d(a, a)[0, 0]))(gt)
+    np.testing.assert_allclose(np.asarray(w), 1.0, atol=1e-4)
+
+
 def test_iou3d_invalid_boxes_masked():
     valid = bbox.get_box_corners(jnp.zeros((1, 1, 3)), jnp.ones((1, 1, 3)),
                                  jnp.zeros((1, 1)))[0]

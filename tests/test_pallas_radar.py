@@ -55,6 +55,28 @@ def test_pallas_reduce_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(ea_p), ea_np, rtol=3e-4, atol=3e-2)
 
 
+def test_pallas_reduce_even_elevation(rng):
+    """Regression: the RA elevation median must average the two middle
+    ranks for EVEN elevation counts (it used to take the lower rank only,
+    silently diverging from the XLA/NumPy paths)."""
+    D, R, E, A = 16, 32, 6, 9
+    tess = rng.uniform(1e8, 1e12, size=(D, R, E, A)).astype(np.float32)
+    ra_np, ea_np = reduce_tesseract_np(tess)
+    ra_p, ea_p = reduce_tesseract_pallas(jnp.asarray(tess), interpret=True,
+                                         r_tile=8)
+    np.testing.assert_allclose(np.asarray(ra_p), ra_np, rtol=3e-4, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(ea_p), ea_np, rtol=3e-4, atol=3e-2)
+
+
+def test_pallas_reduce_rejects_non_pow2_range():
+    """The EA kernel sorts the range axis bitonically: a non-power-of-two
+    R must be rejected loudly at the entry point (the ETL falls back to
+    the XLA path for such cubes)."""
+    tess = jnp.ones((8, 24, 3, 5), jnp.float32)
+    with pytest.raises(AssertionError, match="power of two"):
+        reduce_tesseract_pallas(tess, interpret=True, r_tile=8)
+
+
 def test_pallas_reduce_batched(rng):
     D, R, E, A = 8, 16, 3, 5
     tess = rng.uniform(1e8, 1e10, size=(2, D, R, E, A)).astype(np.float32)
