@@ -33,11 +33,18 @@ class Subset:
     dataset in the Subset of its ``process_local_indices`` so the hosts
     collectively feed disjoint shards of the global batch
     (dpft_tpu.parallel.mesh). Attribute access falls through to the
-    underlying dataset (max_boxes, num_classes, ...)."""
+    underlying dataset (max_boxes, num_classes, ...).
 
-    def __init__(self, dataset, indices):
+    ``real`` (optional, per-index bool) flags wrap-around lockstep
+    padding: False rows exist only to keep hosts in step and a pad_last
+    DataLoader excludes them from ``sample_mask`` so eval metrics are
+    not biased by duplicated samples."""
+
+    def __init__(self, dataset, indices, real=None):
         self.dataset = dataset
         self.indices = np.asarray(indices, np.int64)
+        self.real_mask = (np.ones(len(self.indices), bool) if real is None
+                          else np.asarray(real, bool))
 
     def __len__(self) -> int:
         return len(self.indices)
@@ -72,12 +79,15 @@ class DataLoader:
         self._epoch = 0
         self._seed = seed
 
-    def _pad(self, batch: Batch) -> Batch:
+    def _pad(self, batch: Batch, idx=None) -> Batch:
         inputs, targets = batch
         b = next(iter(inputs.values())).shape[0]
         B = self.batch_size
         mask = np.zeros(B, bool)
-        mask[:b] = True
+        # Multi-host lockstep padding (Subset.real_mask): wrap-around
+        # duplicate rows are weighted out of metrics like tail padding.
+        real = getattr(self.dataset, "real_mask", None)
+        mask[:b] = True if real is None or idx is None else real[idx]
 
         def pad(a):
             if b == B:
@@ -113,11 +123,12 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._batch_indices()
-        finish = self._pad if self.pad_last else (lambda b: b)
+        finish = self._pad if self.pad_last else (lambda b, idx=None: b)
 
         if self.num_workers == 0:
             for idx in batches:
-                yield finish(_collate([self.dataset[int(i)] for i in idx]))
+                yield finish(_collate([self.dataset[int(i)] for i in idx]),
+                             idx)
             return
 
         # Threaded prefetch: decode samples in a pool, assemble batches in
@@ -133,7 +144,8 @@ class DataLoader:
                         return
                     futures = [pool.submit(self.dataset.__getitem__, int(i))
                                for i in idx]
-                    out.put(finish(_collate([f.result() for f in futures])))
+                    out.put(finish(
+                        _collate([f.result() for f in futures]), idx))
             except BaseException as exc:  # propagate to consumer
                 out.put(exc)
             finally:

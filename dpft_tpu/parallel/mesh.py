@@ -93,18 +93,29 @@ def process_local_indices(n: int, process_index: Optional[int] = None,
     if even and pc > 1:
         per = -(-n // pc)  # ceil
         if len(idx) < per:
-            pad = np.arange(pi, pi + (per - len(idx)) * pc, pc) % max(n, 1)
+            # Continue the round-robin stride past n (cyclically) so the
+            # duplicated indices differ across the short hosts instead of
+            # every short host re-reading its own first samples.
+            start = pi + len(idx) * pc
+            pad = np.arange(start, pi + per * pc, pc) % max(n, 1)
             idx = np.concatenate([idx, pad])
     return idx
 
 
 def shard_dataset_for_process(dataset):
     """Wraps a map-style dataset in the Subset of this host's indices
-    (identity when single-process). Lockstep-even across hosts."""
-    if jax.process_count() <= 1:
+    (identity when single-process). Lockstep-even across hosts: short
+    hosts are padded by wrap-around duplicates, which the Subset flags in
+    `real_mask` so a pad_last loader weights them out of eval metrics."""
+    pc = jax.process_count()
+    if pc <= 1:
         return dataset
     from dpft_tpu.data.loader import Subset
-    return Subset(dataset, process_local_indices(len(dataset), even=True))
+    n = len(dataset)
+    idx = process_local_indices(n, even=True)
+    n_own = len(np.arange(jax.process_index(), n, pc))
+    real = np.arange(len(idx)) < n_own
+    return Subset(dataset, idx, real=real)
 
 
 def make_global_batch(tree, sharding: NamedSharding):
@@ -112,12 +123,17 @@ def make_global_batch(tree, sharding: NamedSharding):
     batch. Single-process this is device_put; multi-host each process
     contributes its local shard of the global batch
     (jax.make_array_from_process_local_data inserts it at the right rows
-    of the 'data'-sharded global array)."""
-    if jax.process_count() <= 1:
-        return jax.device_put(tree, sharding)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)), tree)
+    of the 'data'-sharded global array). Leaves already placed with the
+    target sharding pass through untouched (idempotent, so a prefetch
+    stage can place batches ahead of the step)."""
+    def place(x):
+        if isinstance(x, jax.Array) and x.sharding == sharding:
+            return x
+        if jax.process_count() <= 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.tree_util.tree_map(place, tree)
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1,

@@ -19,8 +19,28 @@ from dpft_tpu.utils.config import load_config, save_config
 from dpft_tpu.utils.misc import set_seed
 
 
-def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
+def _agreed_timestamp() -> str:
+    """One run timestamp for ALL hosts.
+
+    Each process's clock differs by microseconds, but the checkpoint path
+    derives from the timestamp and the orbax save is a collective over
+    ONE path — diverging timestamps would fork the run directory per host
+    and stall the save barriers. Process 0's timestamp is broadcast
+    (fixed-width, uint8-encoded) when running multi-host.
+    """
+    import jax
+
     timestamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")[:-3]
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+        arr = np.frombuffer(timestamp.encode().ljust(32), np.uint8)
+        arr = np.asarray(multihost_utils.broadcast_one_to_all(arr))
+        timestamp = bytes(arr).decode().strip()
+    return timestamp
+
+
+def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
     epoch = 0
 
     config = load_config(cfg)
@@ -28,6 +48,8 @@ def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
     # Multi-host (DCN) data parallelism: no-op unless computing.multi_host.
     from dpft_tpu.parallel import maybe_initialize_distributed
     maybe_initialize_distributed(config)
+
+    timestamp = _agreed_timestamp()
 
     rng = set_seed(config["computing"]["seed"])
 
@@ -61,7 +83,11 @@ def main(src: str, cfg: str, dst: str, checkpoint: str = None) -> None:
     else:
         model = build_model(config["model"]["name"], config)
 
-    save_config(config, osp.join(dst, timestamp, "config.json"))
+    # The run directory is shared by all hosts (the orbax checkpoint save
+    # is a collective over one path); only process 0 writes the snapshot.
+    import jax
+    if jax.process_index() == 0:
+        save_config(config, osp.join(dst, timestamp, "config.json"))
 
     trainer = train_model(config)
     trainer(model, train_loader, val_loader, start_epoch=epoch,

@@ -302,6 +302,12 @@ class CentralizedTrainer:
 
         train_fn.place_state = place_state
         eval_fn.place_state = place_state
+        # Exposed so the epoch loop's prefetch stages batches with their
+        # FINAL placement (place_batch is idempotent on placed arrays);
+        # staging to the default device and re-placing would round-trip
+        # each batch through the host on multi-host meshes.
+        train_fn.place_batch = place_batch
+        eval_fn.place_batch = place_batch
         return train_fn, eval_fn
 
     # ------------------------------------------------------------------
@@ -357,12 +363,26 @@ class CentralizedTrainer:
                 " per-parameter shape rules tensor parallelism uses"
                 " (parallel/tp.py); disable one of the two.")
         n_data_devices = max(jax.device_count() // mp, 1)
-        mesh = create_mesh(
-            data=data_parallel_size(
-                batch_size, n_data_devices,
-                require_full=bool(self.config.get("computing", {}).get(
-                    "require_full_mesh"))),
-            model=mp)
+        if jax.process_count() > 1:
+            # Multi-host: the mesh MUST span every process — a 'data'
+            # axis built from a device prefix would leave some hosts with
+            # zero addressable shards (make_global_batch would fail on
+            # them and deadlock the rest). Require the full mesh and a
+            # global batch the 'data' axis divides.
+            if batch_size % n_data_devices != 0:
+                raise ValueError(
+                    f"multi-host global batch {batch_size} (= local batch"
+                    f" x {jax.process_count()} processes) must be"
+                    f" divisible by the {n_data_devices} data-axis"
+                    " devices of the full mesh")
+            mesh = create_mesh(data=n_data_devices, model=mp)
+        else:
+            mesh = create_mesh(
+                data=data_parallel_size(
+                    batch_size, n_data_devices,
+                    require_full=bool(self.config.get("computing", {}).get(
+                        "require_full_mesh"))),
+                model=mp)
 
         # --- Optimizer with the epoch-factor schedule. The schedule is
         # evaluated on the optimizer's update counter, which under
@@ -434,7 +454,7 @@ class CentralizedTrainer:
             epoch_loss = 0.0
             n_steps = 0
             for i, (batch, targets) in enumerate(_prefetch_to_device(
-                    iter(train_loader), place=None)):
+                    iter(train_loader), place=train_step.place_batch)):
                 step_rng = jax.random.fold_in(rng, host_step)
                 host_step += 1
                 state, total, losses, metrics = train_step(

@@ -34,24 +34,63 @@ def main(process_id: int, port: int, out_path: str) -> None:
     from dpft_tpu.data.loader import DataLoader
 
     model, loss, dataset = build_job()
-    dataset = shard_dataset_for_process(dataset)
-    assert len(dataset) == 4  # 8 samples round-robin over 2 hosts
-    loader = DataLoader(dataset, batch_size=2, shuffle=False)
+    sharded = shard_dataset_for_process(dataset)
+    assert len(sharded) == 4  # 8 samples round-robin over 2 hosts
+    loader = DataLoader(sharded, batch_size=2, shuffle=False)
+
+    # Lockstep-even sharding of an ODD dataset: the short host gets a
+    # wrap-around duplicate flagged real_mask=False, and a pad_last
+    # loader weights it out via sample_mask.
+    odd = shard_dataset_for_process(_Slice(dataset, 7))
+    assert len(odd) == 4
+    assert odd.real_mask.sum() == (4 if process_id == 0 else 3)
+    val_loader = DataLoader(odd, batch_size=2, shuffle=False,
+                            pad_last=True)
+    masks = [t["sample_mask"] for _, t in val_loader]
+    assert sum(int(m.sum()) for m in masks) == (4 if process_id == 0
+                                                else 3)
+
+    # All hosts must agree on the run timestamp (checkpoint paths are a
+    # collective contract).
+    from dpft_tpu.train import _agreed_timestamp
+    timestamp = _agreed_timestamp()
 
     from dpft_tpu.training.optimizer import build_optimizer
     from dpft_tpu.training.trainer import CentralizedTrainer
 
+    dst = os.path.join(os.path.dirname(out_path), "log")
     trainer = CentralizedTrainer(
         epochs=2, optimizer=build_optimizer("SGD", lr=0.05), loss=loss,
         scheduler=lambda epoch: 1.0, metric=None, config={})
-    result = trainer.train(model, loader, rng=jax.random.PRNGKey(0))
+    result = trainer.train(model, loader, val_loader=val_loader,
+                           timestamp=timestamp, dst=dst,
+                           rng=jax.random.PRNGKey(0))
+    ckpt = os.path.join(dst, timestamp, "checkpoints",
+                        f"{timestamp}_checkpoint_0001")
+    assert os.path.isdir(ckpt), ckpt
 
     params = result["variables"]["params"]
     flat = {"/".join(map(str, path)): np.asarray(leaf)
             for path, leaf in
             jax.tree_util.tree_flatten_with_path(params)[0]}
     flat["history"] = np.asarray(result["history"])
+    flat["timestamp"] = np.frombuffer(timestamp.encode().ljust(32),
+                                      np.uint8).copy()
     np.savez(out_path, **flat)
+
+
+class _Slice:
+    """First-n view of a map-style dataset."""
+
+    def __init__(self, dataset, n):
+        self.dataset, self.n = dataset, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        assert i < self.n
+        return self.dataset[i]
 
 
 def build_job():
