@@ -53,7 +53,12 @@ class Subset:
         return self.dataset[int(self.indices[i])]
 
     def __getattr__(self, name):
-        return getattr(self.dataset, name)
+        # Underscore/dunder names never delegate: during unpickle/copy
+        # the instance exists before __init__ ran, and probing e.g.
+        # __setstate__ would recurse through the missing self.dataset.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self.__dict__["dataset"], name)
 
 
 class DataLoader:
@@ -86,7 +91,12 @@ class DataLoader:
         mask = np.zeros(B, bool)
         # Multi-host lockstep padding (Subset.real_mask): wrap-around
         # duplicate rows are weighted out of metrics like tail padding.
+        # The mask must be in THIS dataset's index space — a delegating
+        # wrapper around a sharded Subset would surface the inner mask
+        # with the wrong indexing, so mismatched lengths are ignored.
         real = getattr(self.dataset, "real_mask", None)
+        if real is not None and len(real) != len(self.dataset):
+            real = None
         mask[:b] = True if real is None or idx is None else real[idx]
 
         def pad(a):

@@ -352,7 +352,8 @@ def convert_backbone(name: str, state: Dict[str, np.ndarray]
 
 
 def apply_to_backbone(variables: Dict[str, Any], backbone_name: str,
-                      state_path: str) -> Dict[str, Any]:
+                      state_path: str,
+                      family: str = "resnet") -> Dict[str, Any]:
     """Returns a copy of a model's variables with one backbone's params
     replaced by converted torchvision weights.
 
@@ -361,13 +362,14 @@ def apply_to_backbone(variables: Dict[str, Any], backbone_name: str,
         backbone_name: the flax submodule name of the backbone, e.g.
             'backbones_camera_mono'.
         state_path: path to the torchvision state_dict file.
+        family: backbone family for converter dispatch ('ResNet50',
+            'ConvNeXt_T', ... — substring match like the registry). The
+            flax submodule name alone cannot identify the family.
     """
     import jax
 
     state = load_state_dict(state_path)
-    params, stats = convert_resnet(state)
-
-    new_vars = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    params, stats = convert_backbone(family, state)
 
     def merge(dst, src):
         for k, v in src.items():
@@ -380,8 +382,12 @@ def apply_to_backbone(variables: Dict[str, Any], backbone_name: str,
     import copy
     new_params = copy.deepcopy(
         jax.tree_util.tree_map(np.asarray, variables["params"]))
-    new_stats = copy.deepcopy(
-        jax.tree_util.tree_map(np.asarray, variables["batch_stats"]))
     merge(new_params[backbone_name], params)
-    merge(new_stats[backbone_name], stats)
-    return {"params": new_params, "batch_stats": new_stats}
+    out = {"params": new_params}
+    if "batch_stats" in variables:  # ConvNeXt/Swin backbones carry none
+        new_stats = copy.deepcopy(
+            jax.tree_util.tree_map(np.asarray, variables["batch_stats"]))
+        if stats:
+            merge(new_stats[backbone_name], stats)
+        out["batch_stats"] = new_stats
+    return out

@@ -89,17 +89,26 @@ def process_local_indices(n: int, process_index: Optional[int] = None,
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    idx = np.arange(pi, n, pc)
-    if even and pc > 1:
-        per = -(-n // pc)  # ceil
-        if len(idx) < per:
-            # Continue the round-robin stride past n (cyclically) so the
-            # duplicated indices differ across the short hosts instead of
-            # every short host re-reading its own first samples.
-            start = pi + len(idx) * pc
-            pad = np.arange(start, pi + per * pc, pc) % max(n, 1)
-            idx = np.concatenate([idx, pad])
+    idx, _ = _even_local_indices(n, pi, pc) if even else (
+        np.arange(pi, n, pc), None)
     return idx
+
+
+def _even_local_indices(n: int, pi: int, pc: int):
+    """(indices, real_mask) for one host's lockstep-even shard.
+
+    The single source of the padding contract: the host's own round-robin
+    indices first, then wrap-around duplicates (continuing the stride
+    cyclically so short hosts duplicate DIFFERENT samples) flagged False
+    in real_mask.
+    """
+    own = np.arange(pi, n, pc)
+    per = -(-n // pc) if pc > 0 else len(own)  # ceil
+    if pc <= 1 or len(own) >= per:
+        return own, np.ones(len(own), bool)
+    pad = np.arange(pi + len(own) * pc, pi + per * pc, pc) % max(n, 1)
+    return (np.concatenate([own, pad]),
+            np.arange(per) < len(own))
 
 
 def shard_dataset_for_process(dataset):
@@ -107,14 +116,11 @@ def shard_dataset_for_process(dataset):
     (identity when single-process). Lockstep-even across hosts: short
     hosts are padded by wrap-around duplicates, which the Subset flags in
     `real_mask` so a pad_last loader weights them out of eval metrics."""
-    pc = jax.process_count()
-    if pc <= 1:
+    if jax.process_count() <= 1:
         return dataset
     from dpft_tpu.data.loader import Subset
-    n = len(dataset)
-    idx = process_local_indices(n, even=True)
-    n_own = len(np.arange(jax.process_index(), n, pc))
-    real = np.arange(len(idx)) < n_own
+    idx, real = _even_local_indices(len(dataset), jax.process_index(),
+                                    jax.process_count())
     return Subset(dataset, idx, real=real)
 
 

@@ -63,6 +63,22 @@ def test_shard_dataset_identity_single_process():
     assert shard_dataset_for_process(ds) is ds
 
 
+def test_subset_pickle_and_copy():
+    """Regression: unconditional __getattr__ delegation recursed through
+    the missing self.dataset during unpickle (__setstate__ probe)."""
+    import copy
+    import pickle
+
+    from dpft_tpu.data.loader import Subset
+
+    sub = Subset(list(range(6)), [1, 3], real=[True, False])
+    back = pickle.loads(pickle.dumps(sub))
+    assert [back[i] for i in range(2)] == [1, 3]
+    np.testing.assert_array_equal(back.real_mask, [True, False])
+    dup = copy.deepcopy(sub)
+    assert [dup[i] for i in range(2)] == [1, 3]
+
+
 def test_subset_delegates():
     from dpft_tpu.data.loader import Subset
 
