@@ -180,7 +180,35 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     }
 
 
+def _require_device(timeout_s: float) -> None:
+    """Fails fast (clear JSON on stdout, exit 1) when backend init hangs.
+
+    The tunneled TPU runtime blocks indefinitely inside jax.devices()
+    when the tunnel is down; a bounded probe in a daemon thread turns
+    that into a diagnosable failure instead of a silent driver hang.
+    """
+    import threading
+
+    found = []
+
+    def probe():
+        import jax
+        found.append([str(d) for d in jax.devices()])
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not found:
+        print(json.dumps({
+            "metric": "inference_ms_per_frame", "value": None,
+            "unit": "ms", "vs_baseline": None,
+            "error": f"device backend did not initialize within "
+                     f"{timeout_s:.0f}s (TPU tunnel down?)"}))
+        raise SystemExit(1)
+
+
 def main():
+    _require_device(float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
     batch_size = int(os.environ.get("BENCH_BATCH", "4"))
     repetitions = int(os.environ.get("BENCH_REPS", "100"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))

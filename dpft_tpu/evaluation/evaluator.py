@@ -11,7 +11,6 @@ FLOPs/params via XLA HLO cost analysis (instead of the DeepSpeed profiler).
 from __future__ import annotations
 
 import os.path as osp
-import time
 from typing import Any, Dict, Iterable, Optional
 
 import jax
@@ -101,44 +100,33 @@ class CentralizedEvaluator:
     def evaluate_inference_time(self, epoch, fwd, data_loader, writer=None,
                                 repetitions: int = 300,
                                 warmup: int = 10) -> Dict[str, float]:
-        """Latency benchmark: blocking timing of the jitted forward."""
+        """Latency benchmark: blocking timing of the jitted forward
+        (utils.profiling.benchmark; reference evaluator.py:96-135 did
+        this with CUDA events)."""
+        from dpft_tpu.utils.profiling import benchmark
+
         batch, _ = next(iter(data_loader))
-        batch = _to_jnp(batch)
-
-        for _ in range(warmup):
-            jax.block_until_ready(fwd(batch))
-
-        timings = np.zeros(repetitions)
-        for rep in range(repetitions):
-            start = time.perf_counter()
-            jax.block_until_ready(fwd(batch))
-            timings[rep] = (time.perf_counter() - start) * 1e3
-
+        mean_ms, std_ms = benchmark(fwd, _to_jnp(batch),
+                                    repetitions=repetitions, warmup=warmup)
         stats = {
-            "Inference_time_mean_ms": float(timings.mean()),
-            "Inference_time_std_ms": float(timings.std(ddof=1)),
+            "Inference_time_mean_ms": mean_ms,
+            "Inference_time_std_ms": std_ms,
         }
         self._log_scalars(writer, stats, epoch, "test")
         return stats
 
     def evaluate_complexity(self, epoch, model, variables, data_loader,
                             writer=None) -> Dict[str, float]:
-        """FLOPs / params via XLA cost analysis (DeepSpeed replacement)."""
+        """FLOPs / params via XLA cost analysis (utils.profiling;
+        DeepSpeed-flops-profiler replacement)."""
+        from dpft_tpu.utils.profiling import cost_analysis, parameter_count
+
         batch, _ = next(iter(data_loader))
-        batch = _to_jnp(batch)
-
-        lowered = jax.jit(
-            lambda b: model.apply(variables, b, train=False)).lower(batch)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):  # older jax versions
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", 0.0)) if cost else 0.0
-
-        n_params = sum(
-            int(np.prod(x.shape))
-            for x in jax.tree_util.tree_leaves(variables["params"]))
-
-        stats = {"FLOPS": flops, "Parameters": float(n_params)}
+        cost = cost_analysis(
+            lambda b: model.apply(variables, b, train=False),
+            _to_jnp(batch))
+        stats = {"FLOPS": cost["flops"],
+                 "Parameters": float(parameter_count(variables["params"]))}
         self._log_scalars(writer, stats, epoch, "test")
         return stats
 

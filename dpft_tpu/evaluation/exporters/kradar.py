@@ -8,8 +8,10 @@ weather), it appends 15-field object lines under
 plus a val.txt step index - the exact txt tree the official K-Radar
 evaluation consumes. Object lines:
     cls trunc occl alpha bbox bbox bbox bbox h w l y z x theta
-with the fixed eval FoV x in (0, 72), y in (-6.4, 6.4), z in (-2, 6),
-theta in (-50, 50) (reference kradar.py:266-271) and a dummy line when a
+with the fixed eval FoV x in (0, 72), y in (-6.4, 6.4), z in (-2, 6)
+(reference kradar.py:266-271; the reference's theta-in-(-50, 50) bound
+compares radians against degrees and never filters anything — kept
+vacuous for parity, see _construct_objects) and a dummy line when a
 sample has no surviving objects.
 """
 
@@ -108,6 +110,10 @@ class KRadarExporter:
         x_mask = (0 < center[:, 0]) & (center[:, 0] < 72)
         y_mask = (-6.4 < center[:, 1]) & (center[:, 1] < 6.4)
         z_mask = (-2.0 < center[:, 2]) & (center[:, 2] < 6.0)
+        # Parity quirk (reference kradar.py:270): angle is in RADIANS
+        # ([-pi, pi]) but the bound is the degree value 50, so this
+        # filter is always-true/vacuous. Kept because fixing it would
+        # change which boxes the official eval sees.
         a_mask = (-50.0 < angle) & (angle < 50.0)
         mask = (categories >= 0) & (confidence >= conf_thr) \
             & x_mask & y_mask & z_mask & a_mask

@@ -93,7 +93,10 @@ def visu_camera_data(image: np.ndarray, boxes: Optional[np.ndarray] = None,
     """
     fig, ax = _get_ax(ax)
     img = np.asarray(image)
-    if img.dtype != np.uint8:
+    if img.dtype != np.uint8 and img.size and float(img.max()) > 1.0:
+        # 0-255-ranged floats are cast for imshow; [0, 1]-normalized
+        # floats pass through (imshow handles them natively — clipping
+        # them to uint8 would render a black image).
         img = np.clip(img, 0, 255).astype(np.uint8)
     ax.imshow(img)
     ax.set_axis_off()
@@ -315,8 +318,11 @@ def visu_2d_radar_grid(ax, grid: np.ndarray,
         x_mesh, y_mesh = np.meshgrid(np.asarray(raster[0]),
                                      np.asarray(raster[1]))
     else:
-        x_mesh, y_mesh = np.meshgrid(np.arange(grid.shape[0] + 1),
-                                     np.arange(grid.shape[1] + 1))
+        # Cell-center coordinates: shading="nearest" below requires the
+        # mesh dims to EQUAL the data dims (the reference's +1 edge mesh,
+        # visu.py:363-367, crashes matplotlib on this path).
+        x_mesh, y_mesh = np.meshgrid(np.arange(grid.shape[0]),
+                                     np.arange(grid.shape[1]))
 
     if cart and dims in {"ra", "ar"}:
         shape = x_mesh.shape

@@ -30,7 +30,9 @@ def main(src: str, cfg: str) -> None:
 
     dataset_paths = preparator.get_dataset_paths(src)
     split = next(iter(dataset_paths))
-    sequence = next(iter(dataset_paths[split].values()))
+    # Every sequence gets a (possibly empty) entry in every split; take
+    # the first sequence that actually has samples in this split.
+    sequence = next(s for s in dataset_paths[split].values() if s)
     sequence_paths = preparator.get_sequence_paths(sequence)
     sequence_paths.pop("description", None)
 

@@ -10,8 +10,11 @@ Run on the real TPU to discriminate:
 Usage: python scripts/probe_backward.py   (needs the TPU tunnel; ~2 min
 of remote compiles on a warm cache, ~15 min cold).
 """
-import sys; sys.path.insert(0, "/root/repo")
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -14,6 +14,7 @@ Usage:
 
 import argparse
 import json
+import os
 import os.path as osp
 import sys
 from typing import Callable, Dict, List, Tuple
@@ -108,6 +109,9 @@ def save(dst: str, split_names: List[str], keys: List[str],
         name: [keys[i] for i in np.where(indices == n)[0]]
         for n, name in enumerate(split_names)
     }
+    # The optimization upstream can run for hours; never lose its result
+    # to a missing destination directory.
+    os.makedirs(dst, exist_ok=True)
     with open(osp.join(dst, "splits.json"), "w") as f:
         json.dump(splits, f, indent=4)
 
