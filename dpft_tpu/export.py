@@ -32,8 +32,12 @@ def export_forward(model, variables: Dict[str, Any],
     """Exports ``model.apply(variables, batch, train=False)`` with the
     variables baked in as constants (a self-contained serving artifact)."""
     fwd = jax.jit(lambda batch: model.apply(variables, batch, train=False))
+    # Read dtypes without device transfers (jnp.asarray would device_put
+    # every leaf over the tunneled link just to inspect .dtype).
+    import numpy as np
     args = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        lambda x: jax.ShapeDtypeStruct(
+            jnp.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
         example_batch)
     return jax.export.export(
         fwd, platforms=list(platforms) if platforms else None)(args)
@@ -57,9 +61,14 @@ def main(src: str, cfg: str, checkpoint: str, dst: str, batch: int,
     from dpft_tpu.utils.config import load_config
     from dpft_tpu.models import registry
 
-    model, variables, epoch, timestamp = registry.load(checkpoint)
+    # The model AND the example batch must come from the config the
+    # checkpoint was trained with (its inputs define the serving
+    # signature); --cfg is only the fallback when no snapshot survives.
+    config = registry.checkpoint_config(checkpoint,
+                                        fallback=load_config(cfg))
+    model, variables, epoch, timestamp = registry.load(checkpoint,
+                                                       config=config)
     variables = registry.model_collections(variables)
-    config = load_config(cfg)
 
     dataset = init_dataset(config["dataset"], src=src, split="test",
                            config=config)

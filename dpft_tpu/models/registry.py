@@ -91,15 +91,46 @@ def model_collections(variables: Dict[str, Any]) -> Dict[str, Any]:
             if k not in TRAINER_STATE_KEYS}
 
 
-def load(path: str) -> Tuple[Any, Dict[str, Any], int, str]:
-    """Loads (module, variables, epoch, timestamp) from a checkpoint."""
-    import orbax.checkpoint as ocp
+def checkpoint_config(path: str,
+                      fallback: Dict[str, Any] = None) -> Dict[str, Any]:
+    """Resolves the config a checkpoint was trained with.
 
+    Order: the embedded ``<ckpt>/config.json`` (written once the async
+    orbax commit finalizes) -> the run directory's snapshot
+    ``<dst>/<ts>/config.json`` (written at training start, so it covers a
+    run killed inside the async-commit window whose newest checkpoint has
+    no embedded copy yet) -> the caller-provided fallback.
+    """
     from dpft_tpu.utils.config import load_config
 
     path = osp.abspath(path)
+    candidates = (
+        osp.join(path, "config.json"),
+        osp.join(osp.dirname(osp.dirname(path)), "config.json"),
+    )
+    for candidate in candidates:
+        if osp.isfile(candidate):
+            return load_config(candidate)
+    if fallback is not None:
+        return fallback
+    raise FileNotFoundError(
+        f"No config found for checkpoint {path} (looked for "
+        f"{candidates}); pass one explicitly (e.g. the export CLI's "
+        "--cfg)")
+
+
+def load(path: str, config: Dict[str, Any] = None
+         ) -> Tuple[Any, Dict[str, Any], int, str]:
+    """Loads (module, variables, epoch, timestamp) from a checkpoint.
+
+    ``config`` is a fallback used only when neither the checkpoint nor
+    its run directory carries a config snapshot (checkpoint_config).
+    """
+    import orbax.checkpoint as ocp
+
+    path = osp.abspath(path)
     epoch, timestamp = parse_checkpoint_name(path)
-    config = load_config(osp.join(path, "config.json"))
+    config = checkpoint_config(path, fallback=config)
     module = build(config["model"]["name"], config)
 
     ckptr = ocp.StandardCheckpointer()
