@@ -58,10 +58,34 @@ class CentralizedEvaluator:
 
     # ------------------------------------------------------------------
 
-    def _forward(self, model, variables):
+    def _forward(self, model, variables, mesh=None):
+        """Jitted eval forward; ``fwd.place`` stages a host batch with its
+        final device layout.
+
+        With a multi-device mesh the variables are replicated and batches
+        laid over the 'data' axis, so evaluation data-parallelizes the same
+        way the train step does (GSPMD inserts the collectives); the metric
+        then runs on the sharded outputs. Single device keeps default
+        placement (reference evaluates on one GPU, evaluator.py:19-215 —
+        the mesh path is a TPU-native extension)."""
+        from dpft_tpu.parallel import (data_sharding, make_global_batch,
+                                       replicated_sharding)
+
+        if mesh is not None and mesh.size > 1:
+            variables = jax.device_put(variables,
+                                       replicated_sharding(mesh))
+            shard = data_sharding(mesh)
+
+            def place(tree):
+                return make_global_batch(tree, shard)
+        else:
+            place = _to_jnp
+
         @jax.jit
         def fwd(batch):
             return model.apply(variables, batch, train=False)
+
+        fwd.place = place
         return fwd
 
     def evaluate_one_epoch(self, epoch, fwd, data_loader, writer=None,
@@ -71,11 +95,15 @@ class CentralizedEvaluator:
         scalars: Dict[str, float] = {}
         n = 0
         sample_step = 0
+        # One compiled metric program instead of per-batch eager dispatches
+        # (the metric's clipping/AP math is hundreds of small ops).
+        metric_jit = jax.jit(self.eval_fn) if self.eval_fn else None
+        place = getattr(fwd, "place", _to_jnp)
         with tqdm(total=len(data_loader)) as pbar:
             for i, (batch, targets) in enumerate(data_loader):
-                jt = _to_jnp(targets)
-                out = fwd(_to_jnp(batch))
-                metrics = self.eval_fn(out, jt) if self.eval_fn else {}
+                jt = place(targets)
+                out = fwd(place(batch))
+                metrics = metric_jit(out, jt) if metric_jit else {}
                 n += 1
                 if self.logging == "step":
                     self._log_scalars(writer, metrics,
@@ -106,7 +134,8 @@ class CentralizedEvaluator:
         from dpft_tpu.utils.profiling import benchmark
 
         batch, _ = next(iter(data_loader))
-        mean_ms, std_ms = benchmark(fwd, _to_jnp(batch),
+        batch = getattr(fwd, "place", _to_jnp)(batch)
+        mean_ms, std_ms = benchmark(fwd, batch,
                                     repetitions=repetitions, warmup=warmup)
         stats = {
             "Inference_time_mean_ms": mean_ms,
@@ -145,7 +174,16 @@ class CentralizedEvaluator:
             from torch.utils.tensorboard import SummaryWriter
             writer = SummaryWriter(log_dir=dst)
 
-        fwd = self._forward(model, variables)
+        # Data-parallel evaluation when a multi-device mesh is available
+        # (batches are padded to a fixed batch_size by the loader's
+        # pad_last policy, so every batch lays out over the 'data' axis).
+        mesh = None
+        batch_size = getattr(data_loader, "batch_size", None)
+        if jax.device_count() > 1 and batch_size:
+            from dpft_tpu.parallel import create_mesh, data_parallel_size
+            mesh = create_mesh(data=data_parallel_size(batch_size))
+
+        fwd = self._forward(model, variables, mesh)
         metrics = self.evaluate_one_epoch(epoch, fwd, data_loader, writer,
                                           dst)
         latency = self.evaluate_inference_time(epoch, fwd, data_loader,

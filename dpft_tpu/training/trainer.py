@@ -40,6 +40,12 @@ def _now_timestamp() -> str:
     return datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")[:-3]
 
 
+# Steps between scalar readbacks in the train epoch loop. Each un-flushed
+# step keeps its staged batch buffers alive on device, so the cadence also
+# caps dispatch run-ahead memory (~16 x batch bytes).
+_FLUSH_EVERY = 16
+
+
 class CentralizedTrainer:
     def __init__(self,
                  epochs: int = 1,
@@ -453,6 +459,39 @@ class CentralizedTrainer:
             epoch_scalars: Dict[str, float] = {}
             epoch_loss = 0.0
             n_steps = 0
+            # Deferred scalar readback: float(total) every step would block
+            # the host on the step result, serializing dispatch with device
+            # compute (costly on the tunneled backend, where result
+            # visibility lags compute by a network round trip). Step scalars
+            # are kept as device arrays and fetched in one device_get every
+            # _FLUSH_EVERY steps, bounding both live tiny-buffer count and
+            # the in-flight batch buffers the run-ahead keeps alive.
+            pending = []
+
+            def flush_pending():
+                nonlocal epoch_loss
+                if not pending:
+                    return
+                fetched = jax.device_get(pending)
+                pending.clear()
+                for global_step, total, losses, metrics in fetched:
+                    epoch_loss += float(total)
+                    scalars = {f"loss_{k}": v for k, v in losses.items()}
+                    scalars["loss"] = total
+                    scalars.update(metrics)
+                    if self.logging == "step":
+                        # schedule() takes an optimizer-update count; under
+                        # accumulation that is micro-batches // accum_k.
+                        lr = float(schedule(global_step // accum_k))
+                        self._log_scalars(writer, {"learning_rate": lr},
+                                          global_step, "train")
+                        self._log_scalars(writer, scalars, global_step,
+                                          "train")
+                    elif self.logging == "epoch":
+                        for k, v in scalars.items():
+                            epoch_scalars[k] = (epoch_scalars.get(k, 0.0)
+                                                + float(v))
+
             for i, (batch, targets) in enumerate(_prefetch_to_device(
                     iter(train_loader), place=train_step.place_batch)):
                 step_rng = jax.random.fold_in(rng, host_step)
@@ -460,22 +499,11 @@ class CentralizedTrainer:
                 state, total, losses, metrics = train_step(
                     state, batch, targets, step_rng)
                 n_steps += 1
-                epoch_loss += float(total)
-
-                scalars = {f"loss_{k}": v for k, v in losses.items()}
-                scalars["loss"] = total
-                scalars.update(metrics)
-                global_step = i + epoch * steps_per_epoch
-                if self.logging == "step":
-                    # schedule() takes an optimizer-update count; under
-                    # accumulation that is micro-batches // accum_k.
-                    lr = float(schedule(global_step // accum_k))
-                    self._log_scalars(writer, {"learning_rate": lr},
-                                      global_step, "train")
-                    self._log_scalars(writer, scalars, global_step, "train")
-                elif self.logging == "epoch":
-                    for k, v in scalars.items():
-                        epoch_scalars[k] = epoch_scalars.get(k, 0.0) + float(v)
+                pending.append((i + epoch * steps_per_epoch, total, losses,
+                                metrics))
+                if len(pending) >= _FLUSH_EVERY:
+                    flush_pending()
+            flush_pending()
 
             history.append(epoch_loss / max(n_steps, 1))
 
@@ -492,14 +520,23 @@ class CentralizedTrainer:
             if val_loader is not None:
                 val_scalars: Dict[str, float] = {}
                 n_val = 0
+                val_pending = []
+
+                def flush_val():
+                    for total, losses, metrics in jax.device_get(val_pending):
+                        scalars = {f"loss_{k}": v for k, v in losses.items()}
+                        scalars["loss"] = total
+                        scalars.update(metrics)
+                        for k, v in scalars.items():
+                            val_scalars[k] = val_scalars.get(k, 0.0) + float(v)
+                    val_pending.clear()
+
                 for i, (batch, targets) in enumerate(val_loader):
-                    total, losses, metrics = eval_step(state, batch, targets)
+                    val_pending.append(eval_step(state, batch, targets))
                     n_val += 1
-                    scalars = {f"loss_{k}": v for k, v in losses.items()}
-                    scalars["loss"] = total
-                    scalars.update(metrics)
-                    for k, v in scalars.items():
-                        val_scalars[k] = val_scalars.get(k, 0.0) + float(v)
+                    if len(val_pending) >= _FLUSH_EVERY:
+                        flush_val()
+                flush_val()
                 if n_val:
                     avg = {k: v / n_val for k, v in val_scalars.items()}
                     if self.logging == "epoch":
