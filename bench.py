@@ -47,7 +47,11 @@ def _flagship(batch_size, compute_dtype):
     batch = _example_batch(config, B=batch_size, cam_hw=(512, 910),
                            bev_hw=(256, 107), front_hw=(37, 107))
     targets = _example_targets(config, B=batch_size)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # Host-CPU init: eager flax init pays one remote compile (~19 s) per op
+    # on the tunneled TPU backend; see utils.misc.init_on_host.
+    from dpft_tpu.utils.misc import host_prng_key, init_on_host
+    variables = init_on_host(model.init, host_prng_key(0), batch,
+                             train=False)
     return config, model, batch, targets, variables
 
 
@@ -61,6 +65,10 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
     # (reference evaluator.py:96-135, loader.py:40, config/kradar.json:34),
     # so batch 4 is the protocol-matched default; per-frame = batch / 4.
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    # One explicit H2D: _example_batch returns host numpy; the timed loop
+    # must run against a device-resident batch (reference protocol times
+    # compute, not transfers).
+    batch = jax.device_put(batch)
     for _ in range(warmup):
         jax.block_until_ready(fwd(variables, batch))
 
@@ -209,6 +217,12 @@ def _require_device(timeout_s: float) -> None:
 
 def main():
     _require_device(float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
+    # Persistent on-disk compile cache for BOTH modes: the remote TPU
+    # compiler slowed ~20x after a libtpu upgrade (2026-08-19), so a cold
+    # flagship-forward compile alone can exceed a bench budget; warm runs
+    # serve it from disk.
+    from dpft_tpu.utils.profiling import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     batch_size = int(os.environ.get("BENCH_BATCH", "4"))
     repetitions = int(os.environ.get("BENCH_REPS", "100"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))

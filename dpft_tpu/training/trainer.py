@@ -339,15 +339,24 @@ class CentralizedTrainer:
         enable_persistent_compilation_cache()
 
         timestamp = timestamp or _now_timestamp()
-        rng = rng if rng is not None else jax.random.PRNGKey(
+        # Host-resident key: per-step fold_in runs on the host CPU and the
+        # derived key enters the jitted step as an uncommitted array (the
+        # tunneled TPU's D2H path makes any device-key detach minutes-slow;
+        # utils.misc.host_prng_key).
+        from dpft_tpu.utils.misc import host_prng_key
+        rng = rng if rng is not None else host_prng_key(
             self.config.get("computing", {}).get("seed") or 0)
 
         # --- Initialize variables from the first batch if not provided.
         first_batch, first_targets = next(iter(train_loader))
         if variables is None:
             init_rng, rng = jax.random.split(rng)
-            variables = model.init(init_rng, _to_jnp(first_batch),
-                                   train=False)
+            # Host-CPU init: flax's eager init compiles each op separately,
+            # which the remote TPU compiler charges ~19 s apiece for
+            # (utils.misc.init_on_host); values are backend-invariant.
+            from dpft_tpu.utils.misc import init_on_host
+            variables = init_on_host(model.init, init_rng, first_batch,
+                                     train=False)
             # Pretrained backbone weights (config backbones.*.weights,
             # reference resnet.py:142-167) merge into the fresh init only;
             # resumed checkpoints already carry trained values.
@@ -494,7 +503,10 @@ class CentralizedTrainer:
 
             for i, (batch, targets) in enumerate(_prefetch_to_device(
                     iter(train_loader), place=train_step.place_batch)):
-                step_rng = jax.random.fold_in(rng, host_step)
+                # fold_in runs where `rng` lives (host CPU); np.asarray is
+                # then free, and the numpy key is uncommitted so the jitted
+                # step places it with its other (device) arguments.
+                step_rng = np.asarray(jax.random.fold_in(rng, host_step))
                 host_step += 1
                 state, total, losses, metrics = train_step(
                     state, batch, targets, step_rng)

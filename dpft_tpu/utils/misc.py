@@ -78,4 +78,62 @@ def set_seed(seed: int | None) -> "jax.Array | None":
     random.seed(seed)
     os.environ["PYTHONHASHSEED"] = str(seed)
     np.random.seed(seed)
-    return jax.random.PRNGKey(seed)
+    # Host-resident key: host-side key math (split/fold_in in the epoch
+    # loop) must not bounce through the accelerator; see host_prng_key.
+    return host_prng_key(seed)
+
+
+def host_prng_key(seed: int) -> "jax.Array":
+    """PRNG key created on the host CPU backend.
+
+    A key created under the default (tunneled TPU) device costs a
+    device->host readback to detach — measured 194 s for the 8-byte key
+    on 2026-08-19 (the tunnel's D2H path is minutes-slow while dispatch
+    and H2D stay fast). Threefry keys are backend-invariant, so a CPU key
+    is numerically identical.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return jax.random.PRNGKey(seed)
+    with jax.default_device(cpu):
+        return jax.random.PRNGKey(seed)
+
+
+def init_on_host(init_fn, *args, **kwargs):
+    """Runs a flax ``model.init`` on the host CPU backend.
+
+    Flax initialization executes the forward eagerly, compiling every op
+    as its own small program. On the tunneled TPU backend each of those
+    compiles costs ~19 s (measured 2026-08-19: a 3-conv toy init took
+    18.8 s), so a flagship init that finishes in seconds on the host CPU
+    stalls for tens of minutes on device. Running init under the local CPU
+    backend keeps those op-compiles local and instant; the resulting
+    variables are then transferred to the default device in one
+    ``device_put``. Initialization values are unchanged: JAX's threefry
+    PRNG is backend-deterministic and initializers are elementwise.
+
+    Falls back to a plain ``init_fn`` call when no distinct CPU backend
+    exists (e.g. the tests' forced-CPU platform, where it is a no-op
+    wrapper anyway).
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        default = jax.devices()[0]
+    except Exception:
+        return init_fn(*args, **kwargs)
+    if cpu == default:
+        return init_fn(*args, **kwargs)
+    # Detach device args to host numpy first: eager ops follow committed
+    # inputs onto their device, which would silently run the init on the
+    # TPU despite the default_device override. NOTE: detaching a
+    # TPU-resident array pays a D2H readback (minutes-slow on the
+    # tunneled backend) — prefer passing host numpy / host_prng_key.
+    args, kwargs = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+        (args, kwargs))
+    with jax.default_device(cpu):
+        variables = init_fn(*args, **kwargs)
+    # device=None keeps committed arrays where they are; ask for the
+    # default device explicitly.
+    return jax.device_put(variables, default)
