@@ -30,6 +30,10 @@ class _Branch(nn.Module):
     use_bias: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Constant init for the OUTPUT layer's bias (forces the bias on for
+    # that layer). Used by the size branch's positive prior; see
+    # LinearDetectionHead.size_bias_prior.
+    out_bias_prior: float | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -41,9 +45,16 @@ class _Branch(nn.Module):
             x = nn.relu(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.Dense(self.out_channels, use_bias=self.use_bias,
+        out_bias = self.use_bias
+        bias_init = torch_linear_bias_init(self.in_channels)
+        if self.out_bias_prior is not None:
+            out_bias = True
+            prior = float(self.out_bias_prior)
+            bias_init = (lambda key, shape, dtype=jnp.float32:
+                         jnp.full(shape, prior, dtype))
+        return nn.Dense(self.out_channels, use_bias=out_bias,
                         kernel_init=torch_linear_kernel_init,
-                        bias_init=torch_linear_bias_init(self.in_channels),
+                        bias_init=bias_init,
                         dtype=self.dtype, name="out")(x)
 
 
@@ -60,6 +71,15 @@ class LinearDetectionHead(nn.Module):
     # (reference detection.py:86); the Linear variant uses num_cls_layers.
     cls_layers_from_reg: bool = False
 
+    # DELTA vs reference (opt-in, default off = exact parity): constant
+    # positive init for the size branch's output bias. The size activation
+    # is ReLU (reference detection.py:144,273 activations), so a size unit
+    # whose pre-activation goes negative for every query receives zero
+    # gradient and is dead permanently; a positive prior starts the
+    # predicted sizes above zero where L1 gradients can steer them. Config
+    # key `size_bias_prior` (float, e.g. 1.0).
+    size_bias_prior: float | None = None
+
     @nn.compact
     def __call__(self, batch: jnp.ndarray, ref: Dict[str, jnp.ndarray],
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
@@ -72,6 +92,7 @@ class LinearDetectionHead(nn.Module):
         center = _Branch(out_channels=3, num_layers=self.num_reg_layers,
                          name="center_head", **kw)(batch, deterministic)
         size = _Branch(out_channels=3, num_layers=self.num_reg_layers,
+                       out_bias_prior=self.size_bias_prior,
                        name="size_head", **kw)(batch, deterministic)
         angle = _Branch(out_channels=2, num_layers=self.num_reg_layers,
                         name="angle_head", **kw)(batch, deterministic)
@@ -106,4 +127,5 @@ def build_detection_head(name: str, config: Dict[str, Any]):
         use_bias=config.get("bias", False),
         dropout=config.get("dropout", 0.0),
         dtype=get_compute_dtype(config),
+        size_bias_prior=config.get("size_bias_prior"),
     )

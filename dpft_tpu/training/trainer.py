@@ -503,10 +503,7 @@ class CentralizedTrainer:
 
             for i, (batch, targets) in enumerate(_prefetch_to_device(
                     iter(train_loader), place=train_step.place_batch)):
-                # fold_in runs where `rng` lives (host CPU); np.asarray is
-                # then free, and the numpy key is uncommitted so the jitted
-                # step places it with its other (device) arguments.
-                step_rng = np.asarray(jax.random.fold_in(rng, host_step))
+                step_rng = _fold_in_host(rng, host_step)
                 host_step += 1
                 state, total, losses, metrics = train_step(
                     state, batch, targets, step_rng)
@@ -583,6 +580,24 @@ class CentralizedTrainer:
             final["batch_stats"] = state["batch_stats"]
         return {"variables": final, "state": state, "timestamp": timestamp,
                 "result": result, "history": history}
+
+
+def _fold_in_host(rng: jax.Array, step: int) -> "jax.Array | np.ndarray":
+    """Per-step key derivation without a device round trip.
+
+    When the epoch key is committed to a cpu-platform device
+    (utils.misc.host_prng_key), fold_in dispatches on the host CPU and the
+    np.asarray detach is free; the numpy key is uncommitted, so the jitted
+    step places it alongside its other (device) arguments. When no CPU
+    backend exists the key already lives on the default device — pass it
+    through untouched: np.asarray there would force a device->host
+    readback EVERY step (measured 194 s for the 8-byte key through the
+    tunneled TPU's D2H path)."""
+    folded = jax.random.fold_in(rng, step)
+    platform = getattr(getattr(folded, "device", None), "platform", None)
+    if platform == "cpu":
+        return np.asarray(folded)
+    return folded
 
 
 def _to_jnp(tree):

@@ -97,7 +97,13 @@ def host_prng_key(seed: int) -> "jax.Array":
     except Exception:
         return jax.random.PRNGKey(seed)
     with jax.default_device(cpu):
-        return jax.random.PRNGKey(seed)
+        key = jax.random.PRNGKey(seed)
+    # COMMIT the key to the CPU device: default_device only places the
+    # array, it does not commit it, so downstream fold_in/split made
+    # outside this context would dispatch on the current default device
+    # (the tunneled TPU) — the opposite of the intent. Committed inputs
+    # pin eager ops (and their outputs) to the CPU; values are unchanged.
+    return jax.device_put(key, cpu)
 
 
 def init_on_host(init_fn, *args, **kwargs):

@@ -314,15 +314,27 @@ def visu_2d_radar_grid(ax, grid: np.ndarray,
         grid = grid.T
         raster = list(reversed(raster)) if raster is not None else None
 
+    # Explicit CELL EDGES (cell count + 1 per axis): matplotlib warns on
+    # center coordinates whenever the transformed mesh is non-monotonic
+    # (always the case for the polar->cartesian projections below) and
+    # mis-places the cells; edges computed in raster space and then
+    # projected are exact. The reference's +1 edge mesh (visu.py:363-367)
+    # has the same intent but crashes matplotlib on the raster path.
+    def centers_to_edges(c: np.ndarray) -> np.ndarray:
+        c = np.asarray(c, dtype=np.float64)
+        if c.size == 1:
+            return np.array([c[0] - 0.5, c[0] + 0.5])
+        mid = (c[:-1] + c[1:]) / 2.0
+        return np.concatenate(([2 * c[0] - mid[0]], mid,
+                               [2 * c[-1] - mid[-1]]))
+
     if raster is not None:
-        x_mesh, y_mesh = np.meshgrid(np.asarray(raster[0]),
-                                     np.asarray(raster[1]))
+        x_edges = centers_to_edges(np.asarray(raster[0]))
+        y_edges = centers_to_edges(np.asarray(raster[1]))
     else:
-        # Cell-center coordinates: shading="nearest" below requires the
-        # mesh dims to EQUAL the data dims (the reference's +1 edge mesh,
-        # visu.py:363-367, crashes matplotlib on this path).
-        x_mesh, y_mesh = np.meshgrid(np.arange(grid.shape[0]),
-                                     np.arange(grid.shape[1]))
+        x_edges = np.arange(grid.shape[0] + 1) - 0.5
+        y_edges = np.arange(grid.shape[1] + 1) - 0.5
+    x_mesh, y_mesh = np.meshgrid(x_edges, y_edges)
 
     if cart and dims in {"ra", "ar"}:
         shape = x_mesh.shape
@@ -338,11 +350,9 @@ def visu_2d_radar_grid(ax, grid: np.ndarray,
 
     rcs = 10.0 * np.log10(grid)
     if flip:
-        p = ax.pcolormesh(-y_mesh, x_mesh, rcs.T, cmap=cm,
-                          shading="nearest")
+        p = ax.pcolormesh(-y_mesh, x_mesh, rcs.T, cmap=cm, shading="flat")
     else:
-        p = ax.pcolormesh(x_mesh, y_mesh, rcs.T, cmap=cm,
-                          shading="nearest")
+        p = ax.pcolormesh(x_mesh, y_mesh, rcs.T, cmap=cm, shading="flat")
     plt.colorbar(p, ax=ax, label="Power in dB")
 
 

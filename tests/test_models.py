@@ -126,6 +126,30 @@ def test_detection_head_residual_center():
     assert float(jnp.max(jnp.abs(out["angle"]))) <= 1.0  # Tanh
 
 
+def test_detection_head_size_bias_prior():
+    """Opt-in delta: size output bias inits to the positive prior; the
+    default head stays bias-free (exact parity)."""
+    x = jnp.zeros((1, 5, 8))
+    ref = {"center": jnp.zeros((1, 5, 3))}
+
+    default = LinearDetectionHead(in_channels=8, num_classes=2,
+                                  num_reg_layers=2, num_cls_layers=2)
+    vars_default = default.init(jax.random.PRNGKey(0), x, ref)
+    assert "bias" not in vars_default["params"]["size_head"]["out"]
+
+    prior = LinearDetectionHead(in_channels=8, num_classes=2,
+                                num_reg_layers=2, num_cls_layers=2,
+                                size_bias_prior=1.5)
+    vars_prior = prior.init(jax.random.PRNGKey(0), x, ref)
+    np.testing.assert_allclose(
+        np.asarray(vars_prior["params"]["size_head"]["out"]["bias"]), 1.5)
+    # Only the size output layer gains a bias; other branches untouched.
+    assert "bias" not in vars_prior["params"]["center_head"]["out"]
+    out = prior.apply(vars_prior, x, ref)
+    # Zero input -> sizes start at the prior, alive under ReLU.
+    np.testing.assert_allclose(np.asarray(out["size"]), 1.5, atol=1e-6)
+
+
 @pytest.mark.parametrize("cfg_name", ["kradar_camera_mono.json", "kradar.json"])
 def test_full_model_forward(cfg_name):
     config = load_config(f"{CONFIG_DIR}/{cfg_name}")

@@ -50,6 +50,61 @@ def test_set_seed_returns_key():
     assert misc.set_seed(None) is None
 
 
+def test_host_prng_key_committed_to_cpu():
+    """host_prng_key must return a key COMMITTED to a cpu-platform device.
+
+    default_device only places the array; without the device_put commit,
+    later fold_in/split calls made outside the context dispatch on the
+    current default device (the tunneled TPU in production) — the opposite
+    of the intent. Committed inputs pin eager ops and their outputs.
+    """
+    import jax
+
+    key = misc.host_prng_key(7)
+    assert key.committed
+    assert key.device.platform == "cpu"
+    folded = jax.random.fold_in(key, 3)
+    assert folded.committed and folded.device == key.device
+    a, b = jax.random.split(key)
+    assert a.committed and a.device == key.device
+    assert b.committed and b.device == key.device
+
+
+def test_fold_in_host_detaches_cpu_key_only():
+    """The trainer's per-step key derivation: a cpu-resident key detaches
+    to numpy (free); any other key must pass through untouched (np.asarray
+    there would force a per-step device->host readback)."""
+    import jax
+
+    from dpft_tpu.training.trainer import _fold_in_host
+
+    key = misc.host_prng_key(7)
+    out = _fold_in_host(key, 5)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_array_equal(out,
+                                  np.asarray(jax.random.fold_in(key, 5)))
+
+
+def test_init_on_host_matches_direct_init():
+    import jax
+    import flax.linen as nn
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4)(x)
+
+    model = Toy()
+    key = misc.host_prng_key(0)
+    x = np.ones((2, 3), np.float32)
+    via_host = misc.init_on_host(model.init, key, x)
+    direct = model.init(key, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        via_host, direct)
+
+
 def test_config_roundtrip(tmp_path):
     cfg = {"a": 1, "nested": {"b": [1, 2, 3]}}
     path = str(tmp_path / "sub" / "config.json")
