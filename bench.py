@@ -12,10 +12,13 @@ GPU setup, which we adopt as the baseline estimate and label as such in
 the output. The rebuild target is >= 3x that throughput.
 
 Env vars: BENCH_BATCH (default 4), BENCH_DTYPE (e.g. 'bfloat16'),
-BENCH_REPS, BENCH_WARMUP, BENCH_MODE ('inference' | 'train'). Train mode
-reports the full train-step time (forward + Hungarian set loss + backward
-+ AdamW + per-step metrics) plus an achieved-FLOPs estimate from XLA cost
-analysis and the MFU fraction against the chip's bf16 peak.
+BENCH_REPS, BENCH_WARMUP, BENCH_MODE ('inference' | 'train' | 'prepare'),
+BENCH_FLOPS (cost-analysis probes; default on for inference, opt-in for
+train). Train mode reports the full train-step time (forward + Hungarian
+set loss + backward + AdamW + per-step metrics) plus an achieved-FLOPs
+estimate from XLA cost analysis and the MFU fraction against the chip's
+bf16 peak. Prepare mode reports end-to-end ETL throughput (frames/s,
+GB/s) over full-size synthetic tesseracts.
 """
 
 import json
@@ -82,7 +85,7 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
     # stalls for hundreds of ms on individual dispatches, which would
     # otherwise dominate a 100-rep mean.
     ms_per_frame = float(np.median(timings)) / batch_size
-    return {
+    result = {
         "metric": "inference_ms_per_frame",
         "value": round(ms_per_frame, 3),
         "unit": "ms",
@@ -92,6 +95,24 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
         "dtype": compute_dtype or "float32",
         "mean_ms_per_frame": round(float(np.mean(timings)) / batch_size, 3),
     }
+    # FLOPs / MFU of the forward (XLA cost analysis; the reference's
+    # equivalent is the DeepSpeed flops profiler, evaluator.py:71-94).
+    # BENCH_FLOPS=0 skips the extra trace.
+    if os.environ.get("BENCH_FLOPS", "1") == "1":
+        try:
+            from dpft_tpu.utils.profiling import cost_analysis
+            cost = cost_analysis(lambda v, b: model.apply(v, b, train=False),
+                                 variables, batch)
+            batch_sec = float(np.median(timings)) / 1e3
+            result["forward_flops"] = cost["flops"]
+            result["achieved_tflops"] = round(
+                cost["flops"] / batch_sec / 1e12, 3)
+            result["mfu_vs_bf16_peak"] = round(
+                cost["flops"] / batch_sec / PEAK_FLOPS_BF16, 5)
+        except Exception as e:
+            import sys
+            print(f"flops probe unavailable: {e}", file=sys.stderr)
+    return result
 
 
 def bench_train(batch_size, repetitions, warmup, compute_dtype):
@@ -132,39 +153,34 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     jax.block_until_ready(total)
     sec_per_step = (time.perf_counter() - t0) / repetitions
 
-    # FLOPs of the fwd+bwd+update program from XLA cost analysis (the
-    # matcher program's cost is negligible and loop-dependent). Gated
-    # behind BENCH_FLOPS=1: re-tracing the grad program just to count
-    # FLOPs takes minutes at flagship shapes.
-    from dpft_tpu.training.loss import Loss  # noqa: F401 (doc pointer)
+    # FLOPs of the whole step from XLA cost analysis over the SAME jitted
+    # programs the timing loop ran (trainer exposes them via
+    # train_fn.jitted): their .lower().compile() is served from the
+    # in-process executable cache / persistent disk cache, so no fresh
+    # multi-minute remote compile happens. Gated behind BENCH_FLOPS=1
+    # because even re-tracing the grad program takes ~a minute at
+    # flagship shapes on this host.
     flops = 0.0
     try:
         if os.environ.get("BENCH_FLOPS", "0") != "1":
             raise RuntimeError("skipped (set BENCH_FLOPS=1 to measure)")
-        loss_fn = trainer.loss_fn
 
-        def grad_step(params, b, t, idx):
-            def compute(p):
-                out, _ = model.apply(
-                    {"params": p, "batch_stats": state["batch_stats"]},
-                    b, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": rng})
-                total, _ = loss_fn(out, t, indices=idx)
-                return total
-            return jax.grad(compute)(params)
+        def _flops_of(jitted, *args):
+            cost = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0] if cost else {}
+            return float(cost.get("flops", 0.0)) if cost else 0.0
 
-        fwd_eval = jax.jit(lambda v, b: model.apply(v, b, train=False))
-        idx = jax.jit(loss_fn.match)(
-            fwd_eval({"params": state["params"],
-                      "batch_stats": state["batch_stats"]}, jbatch),
-            jtargets)
-        # cost_analysis straight from the lowering: no second multi-minute
-        # backend compile of the grad program just to count FLOPs.
-        cost = jax.jit(grad_step).lower(
-            state["params"], jbatch, jtargets, idx).cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        jits = train_step.jitted
+        fwd_flops = _flops_of(jits["forward"], state, jbatch, rng)
+        out = jits["forward"](state, jbatch, rng)
+        if isinstance(out, tuple):  # forward_once returns (out, vjp, upd)
+            out = out[0]
+        idx = jits["match"](out, jtargets)
+        match_flops = _flops_of(jits["match"], out, jtargets)
+        step_flops = _flops_of(jits["step"], state, jbatch, jtargets, rng,
+                               idx)
+        flops = fwd_flops + match_flops + step_flops
     except Exception as e:
         import sys
         print(f"flops probe unavailable: {e}", file=sys.stderr)
@@ -186,6 +202,85 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS_BF16, 5),
     }
+
+
+def bench_prepare(compute_dtype):
+    """End-to-end ETL throughput on K-Radar-shaped synthetic raw data.
+
+    Drives the REAL `prepare` pipeline (reference hot loop
+    processor.py:588-633): .mat read -> device tesseract reduction
+    (Pallas on TPU) -> camera split + JPEG q98 writes -> PCD parse ->
+    .npy writes, over full-size (64, 256, 37, 107) tesseracts and
+    1280x720 stereo frames fabricated by the test fixture generator.
+    Reports frames/s and end-to-end GB/s over the raw input bytes.
+
+    Baseline: the reference-style NumPy reduction measured on THIS host
+    for one frame (BENCH_PREPARE_BASELINE=0 skips it and falls back to
+    the recorded 15.376 s/frame figure from STATUS.md).
+    """
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import kradar_fixture as kf
+
+    kf.TESSERACT_SHAPE = (64, 256, 37, 107)  # real K-Radar raster
+    kf.IMG_H, kf.IMG_W = 720, 1280           # real cam-front frame
+
+    root = tempfile.mkdtemp(prefix="bench_prepare_")
+    try:
+        src = kf.make_raw_kradar(root)       # generation NOT timed
+        raw_bytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, files in os.walk(src) for f in files)
+
+        config = kf.base_config()
+        if compute_dtype:
+            config["computing"]["compute_dtype"] = compute_dtype
+        from dpft_tpu.data import prepare as prepare_dataset
+        proc = prepare_dataset("kradar", config)
+
+        # Warm-up: compile the device reduction once outside the timing.
+        seq_dir = os.path.join(src, kf.SEQ, "radar_tesseract")
+        first_mat = os.path.join(seq_dir, sorted(os.listdir(seq_dir))[0])
+        proc.get_radar_data(first_mat)
+
+        n_frames = len(kf.TRAIN_IDS) + len(kf.VAL_IDS) + len(kf.TEST_IDS)
+        dst = os.path.join(root, "processed")
+        t0 = time.perf_counter()
+        proc.prepare(src, dst)
+        dt = time.perf_counter() - t0
+
+        baseline_ms = 15376.0  # STATUS.md reference-NumPy per frame
+        baseline_source = "reference-style NumPy path, recorded (STATUS.md)"
+        if os.environ.get("BENCH_PREPARE_BASELINE", "1") == "1":
+            from dpft_tpu.ops.radar_reduce import reduce_tesseract_np
+            tess = proc.get_radar_tesseract(first_mat)
+            t0 = time.perf_counter()
+            reduce_tesseract_np(tess)
+            baseline_ms = (time.perf_counter() - t0) * 1e3
+            baseline_source = ("reference-style NumPy reduction measured "
+                               "on this host (one frame, reduction only)")
+
+        frames_per_sec = n_frames / dt
+        gb_per_sec = raw_bytes / dt / 1e9
+        return {
+            "metric": "prepare_gb_per_sec",
+            "value": round(gb_per_sec, 4),
+            "unit": "GB/s",
+            "vs_baseline": round(frames_per_sec * baseline_ms / 1e3, 3),
+            "baseline_source": baseline_source,
+            "frames": n_frames,
+            "frames_per_sec": round(frames_per_sec, 3),
+            "sec_per_frame": round(dt / n_frames, 3),
+            "raw_gb": round(raw_bytes / 1e9, 3),
+            "baseline_sec_per_frame": round(baseline_ms / 1e3, 3),
+            "dtype": compute_dtype or "float32",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _require_device(timeout_s: float) -> None:
@@ -232,6 +327,8 @@ def main():
     if mode == "train":
         repetitions = int(os.environ.get("BENCH_REPS", "20"))
         result = bench_train(batch_size, repetitions, warmup, compute_dtype)
+    elif mode == "prepare":
+        result = bench_prepare(compute_dtype)
     else:
         result = bench_inference(batch_size, repetitions, warmup,
                                  compute_dtype)

@@ -323,6 +323,12 @@ class IMPFusion(nn.Module):
 
 def build_mpfusion(config: Dict[str, Any], head=None) -> IMPFusion:
     from dpft_tpu.models.layers.common import get_compute_dtype
+    if config.get("pallas_msda"):
+        # Route the parameter-free sampling core through the fused Pallas
+        # kernel (ops/pallas/deform_attn.py); measured head-to-head by
+        # scripts/bench_msda.py.
+        from dpft_tpu.ops.deform_attn import set_msda_backend
+        set_msda_backend("pallas")
     return IMPFusion(
         dtype=get_compute_dtype(config),
         i_iter=config.get("i_iter", 1),

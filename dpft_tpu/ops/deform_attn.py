@@ -28,6 +28,25 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+# Sampling-core backend: 'xla' (gather core below) or 'pallas' (fused
+# kernel, ops/pallas/deform_attn.py). The core is parameter-free, so the
+# switch cannot affect checkpoints; it is read at TRACE time, selected by
+# the model builder from config `fuser.pallas_msda` (models/fusers/
+# mpfusion.py:build_mpfusion) and benchmarked head-to-head by
+# scripts/bench_msda.py.
+_BACKEND = "xla"
+
+
+def set_msda_backend(name: str) -> None:
+    global _BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"Unknown MSDA backend: {name!r}")
+    _BACKEND = name
+
+
+def get_msda_backend() -> str:
+    return _BACKEND
+
 
 def ms_deform_attn_core(
     value: jnp.ndarray,
@@ -47,6 +66,26 @@ def ms_deform_attn_core(
     Returns:
         (B, N, H * D) attended features.
     """
+    if _BACKEND == "pallas":
+        from dpft_tpu.ops.pallas.deform_attn import ms_deform_attn_pallas
+        # Interpreter mode on CPU (tests / virtual meshes); compiled
+        # Mosaic kernel on TPU.
+        return ms_deform_attn_pallas(value, tuple(spatial_shapes),
+                                     sampling_locations, attention_weights,
+                                     jax.default_backend() == "cpu")
+    return _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                               attention_weights)
+
+
+def _ms_deform_attn_xla(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """The pure-XLA gather realization (backend-dispatch-free: the Pallas
+    kernel's custom VJP differentiates THIS function for its backward, so
+    it must never route back through ms_deform_attn_core)."""
     B, Len, H, D = value.shape
     N = sampling_locations.shape[1]
     L = len(spatial_shapes)

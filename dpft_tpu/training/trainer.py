@@ -314,6 +314,17 @@ class CentralizedTrainer:
         # each batch through the host on multi-host meshes.
         train_fn.place_batch = place_batch
         eval_fn.place_batch = place_batch
+        # The constituent jitted programs, exposed for cost analysis
+        # (bench.py reuses their compiled executables — served from the
+        # in-process/persistent cache — to report step FLOPs/MFU).
+        if split_matching:
+            train_fn.jitted = {"match": match_jit}
+            if forward_once:
+                train_fn.jitted.update(forward=fwd_vjp_jit, step=tail_jit)
+            else:
+                train_fn.jitted.update(forward=fwd_train_jit, step=train_jit)
+        else:
+            train_fn.jitted = {"step": train_jit}
         return train_fn, eval_fn
 
     # ------------------------------------------------------------------
