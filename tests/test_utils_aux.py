@@ -1,6 +1,7 @@
 """Tests for aux utilities: geometry, project, data (de)collation, visu,
 NSGA-II optimizer, and the split script objective."""
 
+import os.path as osp
 import matplotlib
 
 matplotlib.use("Agg")
@@ -177,3 +178,27 @@ def test_nsga2_minimize_balances_split():
     X, F = nsga2_minimize(evaluate, n_var=30, xl=0, xu=1, pop_size=24,
                           n_gen=40, seed=0)
     assert F.sum(axis=1).min() < 0.15
+
+
+def test_explore_notebook_in_sync():
+    """scripts/explore.ipynb is generated from scripts/explore.py (the
+    reference ships both, scripts/explore.{py,ipynb}); the committed
+    notebook must match a fresh regeneration and its code cells must
+    parse."""
+    import ast
+    import json
+    import subprocess
+    import sys
+
+    root = osp.join(osp.dirname(__file__), "..")
+    proc = subprocess.run(
+        [sys.executable, osp.join(root, "scripts", "make_explore_notebook.py"),
+         "--check"], capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    nb = json.load(open(osp.join(root, "scripts", "explore.ipynb")))
+    assert nb["nbformat"] == 4
+    code = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    assert code, "notebook has no code cells"
+    for cell in code:
+        ast.parse("".join(cell["source"]))
