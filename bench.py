@@ -186,6 +186,12 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
         print(f"flops probe unavailable: {e}", file=sys.stderr)
 
     achieved = flops / sec_per_step if flops else 0.0
+    # NOTE: flops come from XLA's HLO cost analysis (the reference's
+    # equivalent is the DeepSpeed profiler estimate, evaluator.py:71-94).
+    # It is the compiler's static estimate, not a hardware counter; at
+    # flagship shapes it implies >1 MFU vs the bf16 peak for the f32 step,
+    # i.e. it overcounts (fused/recomputed HLOs are each charged).  Treat
+    # achieved_tflops / mfu as an upper bound on utilization.
     return {
         "metric": "train_sec_per_step",
         "value": round(sec_per_step, 4),
@@ -201,6 +207,8 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
         "grad_step_flops": flops,
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS_BF16, 5),
+        "flops_source": "xla_cost_analysis (static HLO estimate; "
+                        "upper bound, not a hardware counter)",
     }
 
 
@@ -239,6 +247,13 @@ def bench_prepare(compute_dtype):
         config = kf.base_config()
         if compute_dtype:
             config["computing"]["compute_dtype"] = compute_dtype
+        # BENCH_PREPARE_DEVICE=cpu pins the reduction to the host XLA
+        # backend: through a TUNNELED chip the 260 MB/frame tesseract
+        # upload dominates end-to-end time (measured 18.2 s/frame), which
+        # says nothing about a production co-located-chip deployment; the
+        # host-XLA path keeps the whole ETL local. Default: the chip.
+        prep_dev = os.environ.get("BENCH_PREPARE_DEVICE", "default")
+        config["computing"]["prepare_device"] = prep_dev
         from dpft_tpu.data import prepare as prepare_dataset
         proc = prepare_dataset("kradar", config)
 
@@ -246,6 +261,15 @@ def bench_prepare(compute_dtype):
         seq_dir = os.path.join(src, kf.SEQ, "radar_tesseract")
         first_mat = os.path.join(seq_dir, sorted(os.listdir(seq_dir))[0])
         proc.get_radar_data(first_mat)
+
+        # Phase breakdown on one frame (helps attribute end-to-end time:
+        # .mat parse vs reduction incl. any transfer).
+        t0 = time.perf_counter()
+        proc.get_radar_tesseract(first_mat)
+        loadmat_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        proc.get_radar_data(first_mat)
+        radar_sec = time.perf_counter() - t0
 
         n_frames = len(kf.TRAIN_IDS) + len(kf.VAL_IDS) + len(kf.TEST_IDS)
         dst = os.path.join(root, "processed")
@@ -278,6 +302,9 @@ def bench_prepare(compute_dtype):
             "raw_gb": round(raw_bytes / 1e9, 3),
             "baseline_sec_per_frame": round(baseline_ms / 1e3, 3),
             "dtype": compute_dtype or "float32",
+            "prepare_device": prep_dev,
+            "loadmat_sec_per_frame": round(loadmat_sec, 3),
+            "radar_reduce_sec_per_frame": round(radar_sec - loadmat_sec, 3),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

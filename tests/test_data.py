@@ -67,6 +67,26 @@ def test_radar_reduce_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(ea_j), ea_np, rtol=2e-4, atol=2e-2)
 
 
+def test_processor_prepare_device_cpu_matches_numpy(rng, tmp_path):
+    """prepare_device='cpu' pins the ETL reduction to the host XLA backend
+    (for tunneled/remote chips where the per-frame H2D dominates) and must
+    produce the same planes as the NumPy reference path."""
+    from scipy.io import savemat
+
+    from dpft_tpu.data.kradar.processor import KRadarProcessor
+
+    tess = rng.uniform(1e8, 1e12, size=TESSERACT_SHAPE).astype(np.float32)
+    mat = str(tmp_path / "tess.mat")
+    savemat(mat, {"arrDREA": tess})
+
+    proc_cpu = KRadarProcessor(use_device=True, prepare_device="cpu")
+    proc_np = KRadarProcessor(use_device=False)
+    ra_c, ea_c = proc_cpu.get_radar_data(mat)
+    ra_n, ea_n = proc_np.get_radar_data(mat)
+    np.testing.assert_allclose(ra_c, ra_n, rtol=2e-4, atol=2e-2)
+    np.testing.assert_allclose(ea_c, ea_n, rtol=2e-4, atol=2e-2)
+
+
 def test_radar_reduce_batched(rng):
     tess = rng.uniform(1e8, 1e10, size=(2,) + TESSERACT_SHAPE).astype(np.float32)
     ra, ea = reduce_tesseract(tess)
