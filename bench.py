@@ -61,6 +61,9 @@ def _flagship(batch_size, compute_dtype):
 def bench_inference(batch_size, repetitions, warmup, compute_dtype):
     import jax
 
+    from dpft_tpu.utils.profiling import (benchmark, benchmark_pipelined,
+                                          readback_rtt_ms)
+
     _, model, batch, _, variables = _flagship(batch_size, compute_dtype)
 
     # The reference latency benchmark times one batch drawn from the test
@@ -68,23 +71,31 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
     # (reference evaluator.py:96-135, loader.py:40, config/kradar.json:34),
     # so batch 4 is the protocol-matched default; per-frame = batch / 4.
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
-    # One explicit H2D: _example_batch returns host numpy; the timed loop
-    # must run against a device-resident batch (reference protocol times
-    # compute, not transfers).
-    batch = jax.device_put(batch)
-    for _ in range(warmup):
-        jax.block_until_ready(fwd(variables, batch))
+    # Timing protocol (2026-08-19, see scripts/probe_timing_integrity.py
+    # and utils/profiling.py:sync): every measurement is fenced by a
+    # result READBACK, never bare block_until_ready (which the tunneled
+    # backend can signal early — it reported this forward at 1.2 ms/batch,
+    # a physically impossible 554 TFLOP/s; the readback-verified number is
+    # ~113 ms/batch). DISTINCT pre-staged batches defeat any same-input
+    # shortcuts; the headline is the pipelined device-throughput figure
+    # (dispatch overlapped, one tail fence), closest to the reference's
+    # CUDA-event device-time semantics.
+    rng = np.random.default_rng(1)
+    argsets = []
+    for _ in range(6):
+        jb = {k: (v + rng.normal(scale=0.01, size=v.shape).astype(v.dtype))
+              if np.issubdtype(v.dtype, np.floating) else v
+              for k, v in batch.items()}
+        argsets.append((variables, jax.device_put(jb)))
 
-    timings = np.zeros(repetitions)
-    for i in range(repetitions):
-        start = time.perf_counter()
-        jax.block_until_ready(fwd(variables, batch))
-        timings[i] = (time.perf_counter() - start) * 1e3
+    ms_per_batch = benchmark_pipelined(fwd, argsets,
+                                       repetitions=repetitions,
+                                       warmup=warmup)
+    percall_mean, percall_std = benchmark(
+        fwd, *argsets[0], repetitions=max(repetitions // 5, 10),
+        warmup=2)
 
-    # Median, not mean: the tunneled single-chip backend occasionally
-    # stalls for hundreds of ms on individual dispatches, which would
-    # otherwise dominate a 100-rep mean.
-    ms_per_frame = float(np.median(timings)) / batch_size
+    ms_per_frame = ms_per_batch / batch_size
     result = {
         "metric": "inference_ms_per_frame",
         "value": round(ms_per_frame, 3),
@@ -93,7 +104,10 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
         "baseline_source": BASELINE_SOURCE,
         "batch": batch_size,
         "dtype": compute_dtype or "float32",
-        "mean_ms_per_frame": round(float(np.mean(timings)) / batch_size, 3),
+        "timing_protocol": "pipelined, distinct batches, readback-fenced",
+        "per_call_ms_per_batch": round(percall_mean, 3),
+        "per_call_std_ms": round(percall_std, 3),
+        "readback_rtt_ms": round(readback_rtt_ms(argsets[0][1]["camera_mono"]), 3),
     }
     # FLOPs / MFU of the forward (XLA cost analysis; the reference's
     # equivalent is the DeepSpeed flops profiler, evaluator.py:71-94).
@@ -128,7 +142,15 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     config, model, batch, targets, variables = _flagship(
         batch_size, compute_dtype)
 
+    # Optional step-program variants (each is a separate executable):
+    # BENCH_FLAT=1   -> train.flat_optimizer (AdamW moments in one
+    #                   ravelled buffer: ~3x fewer state buffers/ops)
+    # BENCH_NO_METRIC=1 -> evaluating=-1 (skip the per-step mAP/mGIoU)
+    if os.environ.get("BENCH_FLAT", "0") == "1":
+        config.setdefault("train", {})["flat_optimizer"] = True
     trainer = CentralizedTrainer.from_config(config)
+    if os.environ.get("BENCH_NO_METRIC", "0") == "1":
+        trainer.evaluating = -1
     tx = trainer.optimizer_factory(trainer.optimizer_factory.base_lr)
     mesh = create_mesh(data=1)
     state = {
@@ -143,14 +165,22 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     jtargets = jax.tree_util.tree_map(jnp.asarray, targets)
     rng = jax.random.PRNGKey(1)
 
+    # Readback-fenced timing (utils/profiling.py:sync): the states chain
+    # serially step-to-step, so ONE tail readback of the final loss bounds
+    # the whole chain — wall/reps is true steady-state step time
+    # regardless of client-side completion signalling (see
+    # scripts/probe_step_truth.py; bare block_until_ready reported
+    # 13.5 ms/step for this loop, the readback-verified number is ~30x
+    # that).
+    from dpft_tpu.utils.profiling import sync
     for _ in range(max(warmup, 2)):
         state, total, _, _ = train_step(state, jbatch, jtargets, rng)
-    jax.block_until_ready(total)
+    sync(total)
 
     t0 = time.perf_counter()
     for _ in range(repetitions):
         state, total, _, _ = train_step(state, jbatch, jtargets, rng)
-    jax.block_until_ready(total)
+    sync(total)
     sec_per_step = (time.perf_counter() - t0) / repetitions
 
     # FLOPs of the whole step from XLA cost analysis over the SAME jitted
@@ -248,10 +278,11 @@ def bench_prepare(compute_dtype):
         if compute_dtype:
             config["computing"]["compute_dtype"] = compute_dtype
         # BENCH_PREPARE_DEVICE=cpu pins the reduction to the host XLA
-        # backend: through a TUNNELED chip the 260 MB/frame tesseract
-        # upload dominates end-to-end time (measured 18.2 s/frame), which
-        # says nothing about a production co-located-chip deployment; the
-        # host-XLA path keeps the whole ETL local. Default: the chip.
+        # backend (for accelerator-less hosts; measured ~19 s/frame — CPU
+        # sort-based medians lose even to NumPy). The default device path
+        # through a TUNNELED chip is upload-bound (~18 s/frame: 260 MB at
+        # ~15 MB/s), which says nothing about a co-located deployment
+        # (>=10 GB/s H2D -> ~40 ms/frame); see the breakdown fields.
         prep_dev = os.environ.get("BENCH_PREPARE_DEVICE", "default")
         config["computing"]["prepare_device"] = prep_dev
         from dpft_tpu.data import prepare as prepare_dataset

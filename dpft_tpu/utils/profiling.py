@@ -35,17 +35,76 @@ def parameter_count(params: Any) -> int:
                for x in jax.tree_util.tree_leaves(params))
 
 
+def sync(out: Any) -> float:
+    """Forces TRUE completion of a computation's result.
+
+    On the tunneled single-chip backend `jax.block_until_ready` can signal
+    readiness before the device actually finished (measured 2026-08-19: an
+    end-blocked loop reported the flagship forward at 1.2 ms/batch while a
+    readback-barrier measured 113-152 ms — physically consistent with the
+    program's FLOPs, while 1.2 ms is not). Reading ONE element of a result
+    buffer back to the host cannot be signalled early: the bytes exist only
+    after the program ran. Costs one D2H round trip (~27 ms through the
+    tunnel, ~free locally) plus a trivial slice program.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    import jax.numpy as jnp
+    return float(jax.device_get(jnp.ravel(leaf)[:1])[0])
+
+
+def readback_rtt_ms(reference: Any, reps: int = 5) -> float:
+    """Median cost of `sync` on an ALREADY-completed buffer: the pure
+    host<->device round-trip component to subtract from per-call timings
+    (the reference's CUDA events likewise exclude host sync overhead)."""
+    sync(reference)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(reference)
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
 def benchmark(fn: Callable, *args, repetitions: int = 100,
               warmup: int = 10) -> Tuple[float, float]:
-    """(mean_ms, std_ms) of fn(*args) with blocking timing."""
+    """(mean_ms, std_ms) of fn(*args), readback-barrier timing.
+
+    Each repetition is fenced by `sync` (see above: block_until_ready is
+    not trustworthy on the tunneled backend), and the pure round-trip cost
+    of the barrier itself — measured on an already-ready buffer — is
+    subtracted, matching the reference's CUDA-event semantics
+    (device time, not host sync overhead; reference evaluator.py:96-135).
+    """
+    out = None
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    sync(out)
+    rtt = readback_rtt_ms(out)
     timings = np.zeros(repetitions)
     for i in range(repetitions):
         start = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
         timings[i] = (time.perf_counter() - start) * 1e3
+    timings = np.maximum(timings - rtt, 0.0)
     return float(timings.mean()), float(timings.std(ddof=1))
+
+
+def benchmark_pipelined(fn: Callable, argsets, repetitions: int = 60,
+                        warmup: int = 6) -> float:
+    """Mean ms/call with dispatch overlapping execution: all calls are
+    enqueued without intermediate barriers (cycling `argsets` to defeat
+    any same-input shortcuts), then ONE readback fences the tail. The
+    device executes programs serially, so wall/reps is true steady-state
+    device throughput."""
+    out = None
+    for i in range(max(warmup, len(argsets))):
+        out = fn(*argsets[i % len(argsets)])
+    sync(out)
+    t0 = time.perf_counter()
+    for i in range(repetitions):
+        out = fn(*argsets[i % len(argsets)])
+    sync(out)
+    return (time.perf_counter() - t0) / repetitions * 1e3
 
 
 def enable_persistent_compilation_cache(

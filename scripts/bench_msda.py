@@ -73,12 +73,17 @@ print(f"{len(captured)} core calls per forward, {len(shapes)} distinct "
 
 
 def timeit(fn, *args, reps=REPS):
+    """Readback-fenced (utils/profiling.sync): block_until_ready is not
+    trustworthy on the tunneled backend. Calls are independent but execute
+    serially on the one device, so one tail fence bounds all reps; NOTE
+    same-input reps — cross-checked per-call in probe_timing_integrity."""
+    from dpft_tpu.utils.profiling import sync
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / reps * 1e3
 
 
