@@ -178,15 +178,24 @@ class DataLoader:
 
 def load_listed(dataset, config: Dict[str, Any], drop_last: bool | None = None,
                 shuffle: bool | None = None,
-                pad_last: bool = False) -> DataLoader:
-    """Builds a loader from config (reference loader.py:37-44)."""
+                pad_last: bool | None = None) -> DataLoader:
+    """Builds a loader from config (reference loader.py:37-44).
+
+    pad_last defaults to ``not drop_last``: the framework's static-shape
+    contract means a ragged tail batch is never valid — jitted consumers
+    would recompile and the data-axis mesh cannot shard it (a B=1 tail on
+    a data=2 mesh fails device_put). Padded rows carry a ``sample_mask``
+    that loss/metrics weight out and the exporter skips, so padding is
+    safe for both eval and train callers; loaders that drop the tail
+    (train CLI policy) have nothing to pad."""
     train_cfg = config.get("train", {})
+    drop = bool(drop_last) if drop_last is not None else False
     return DataLoader(
         dataset,
         batch_size=train_cfg.get("batch_size", 1),
         shuffle=train_cfg.get("shuffle", False) if shuffle is None else shuffle,
         num_workers=config.get("computing", {}).get("workers", 0),
-        drop_last=bool(drop_last) if drop_last is not None else False,
-        pad_last=pad_last,
+        drop_last=drop,
+        pad_last=(not drop) if pad_last is None else pad_last,
         seed=config.get("computing", {}).get("seed"),
     )
