@@ -76,13 +76,15 @@ class KRadarProcessor:
         self.dtype = np.dtype(dtype)
         self.use_device = use_device
         # 'default' runs the reduction on the default accelerator; 'cpu'
-        # pins it to the host XLA backend. The accelerator wins when the
-        # chip is co-located (H2D >> tesseract rate), but through a
-        # tunneled/remote device the 260 MB-per-frame upload dominates
-        # (measured 18.2 s/frame end-to-end vs 63 ms/frame host-XLA on
-        # this container) - 'cpu' keeps the ETL entirely host-side while
-        # staying ~250x faster than the reference's per-frame NumPy
-        # (reference processor.py:588-633).
+        # pins it to the host XLA backend (no device transfer). Measured
+        # (readback-fenced, scripts/bench_radar_reduce.py): on-device
+        # Pallas 12.7 ms/frame and XLA 34.5 ms/frame, vs host-XLA ~19 s
+        # and reference-style NumPy ~8-15 s — the sort-based medians that
+        # fly on the TPU crawl on CPU, so 'cpu' is only for hosts with no
+        # accelerator at all. Through a TUNNELED chip the 260 MB/frame
+        # upload dominates end-to-end prepare (~18 s/frame at ~15 MB/s);
+        # on a co-located chip (>=10 GB/s H2D) the device path is
+        # ~40 ms/frame end-to-end (reference hot loop processor.py:588-633).
         self.prepare_device = prepare_device
 
         self.splits = ["train", "val", "test"]
