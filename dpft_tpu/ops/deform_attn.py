@@ -86,8 +86,6 @@ def _ms_deform_attn_xla(
     """The pure-XLA gather realization (backend-dispatch-free: the Pallas
     kernel's custom VJP differentiates THIS function for its backward, so
     it must never route back through ms_deform_attn_core)."""
-    import numpy as np
-
     B, Len, H, D = value.shape
     N = sampling_locations.shape[1]
     L = len(spatial_shapes)
@@ -95,65 +93,69 @@ def _ms_deform_attn_xla(
     assert sum(h * w for h, w in spatial_shapes) == Len, (spatial_shapes, Len)
     assert sampling_locations.shape[3] == L
 
-    # ONE gather for all levels x bilinear neighbours. The earlier
-    # per-level/per-neighbour structure issued 20 take_along_axis ops per
-    # call; measured readback-fenced on the v5e (scripts/bench_msda.py,
-    # 2026-08-19) their cost was ~independent of the value size
-    # (9.3 / 6.4 / 7.7 ms per call for Len 504688 / 29712 / 4328) — i.e.
-    # gather-op-count-bound, 12 calls adding up to 93.6 ms of the 113 ms
-    # flagship forward and 336 ms of the 637 ms train step. Consolidating
-    # into a single gather (and, through autodiff, a single scatter-add in
-    # the backward) removes that multiplier. Indices are offset by each
-    # level's start into the flattened spatial axis; out-of-map neighbours
-    # clip inside their own level and are zero-weighted, exactly as before.
-    h_arr = np.array([h for h, _ in spatial_shapes], np.float32)
-    w_arr = np.array([w for _, w in spatial_shapes], np.float32)
-    starts = np.cumsum([0] + [h * w for h, w in spatial_shapes])[:-1]
-    lvl_start = jnp.asarray(starts, jnp.int32)        # (L,)
-    wi = jnp.asarray(w_arr.astype(np.int32))
-    hi = jnp.asarray(h_arr.astype(np.int32))
+    # Formulation choice (single-process interleaved A/B on the v5e,
+    # readback-fenced, scripts/probe_msda_ab.py, 2026-08-19): XLA executes
+    # gathers at a ~fixed per-ROW rate (~100M (1,1,D)-slice rows/s,
+    # independent of operand size — scripts/probe_gather.py), so all
+    # formulations with the same 563k rows/call tie in the forward
+    # (v1 per-level-per-neighbour 6.0/4.2/4.6 ms, v2 one consolidated
+    # gather 8.6/6.2/5.6 ms per call at Len 504688/29712/4328). The
+    # BACKWARD separates them: autodiff of 20 small gathers emits 20
+    # small scatter-adds (fwd+bwd 25.0/12.8/10.8 ms) which XLA lowers
+    # 2.5x better than the single big scatter of the consolidated form
+    # (62.6/30.1/16.0 ms); a (2,2,D)-patch-slice gather (4x fewer rows)
+    # is fastest forward on small maps but its patch-scatter backward is
+    # catastrophic (560-700 ms). Mosaic cannot lower any of these
+    # (gather support = full-lane-width take_along_axis only; see
+    # ops/pallas/deform_attn.py), so this per-level/per-neighbour XLA
+    # core is the measured winner for training.
 
-    # Continuous pixel coords per level: (B, N, H, L, P).
-    x = sampling_locations[..., 0] * w_arr[None, None, None, :, None] - 0.5
-    y = sampling_locations[..., 1] * h_arr[None, None, None, :, None] - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = x - x0                                       # bilinear weights
-    ly = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    # Split the flattened value into per-level maps at trace time.
+    level_sizes = [h * w for h, w in spatial_shapes]
+    splits = []
+    acc = 0
+    for s in level_sizes[:-1]:
+        acc += s
+        splits.append(acc)
+    level_values = jnp.split(value, splits, axis=1)
 
-    idx_k = []
-    wgt_k = []
-    shape5 = (1, 1, 1, L, 1)
-    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        xi = x0i + dx
-        yi = y0i + dy
-        wgt = (lx if dx else (1.0 - lx)) * (ly if dy else (1.0 - ly))
-        inside = ((xi >= 0) & (xi < wi.reshape(shape5))
-                  & (yi >= 0) & (yi < hi.reshape(shape5)))
-        flat = (lvl_start.reshape(shape5)
-                + jnp.clip(yi, 0, hi.reshape(shape5) - 1)
-                * wi.reshape(shape5)
-                + jnp.clip(xi, 0, wi.reshape(shape5) - 1))
-        idx_k.append(flat)
-        wgt_k.append(wgt * inside)
-    idx = jnp.stack(idx_k, axis=-1)                   # (B, N, H, L, P, 4)
-    wgt = jnp.stack(wgt_k, axis=-1)                   # (B, N, H, L, P, 4)
+    out = jnp.zeros((B, N, H, D), dtype=value.dtype)
 
-    # Heads to the batch axis, one big gather: (B*H, Len, D).
-    val = value.transpose(0, 2, 1, 3).reshape(B * H, Len, D)
-    idx_t = idx.transpose(0, 2, 1, 3, 4, 5).reshape(B * H, N * L * P * 4)
-    g = jnp.take_along_axis(val, idx_t[..., None], axis=1)
-    g = g.reshape(B, H, N, L, P, 4, D)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        val = level_values[lvl]  # (B, h*w, H, D)
+        # Heads to the batch axis for a single big gather: (B*H, h*w, D)
+        val = val.transpose(0, 2, 1, 3).reshape(B * H, h * w, D)
 
-    wgt_t = wgt.transpose(0, 2, 1, 3, 4, 5)           # (B, H, N, L, P, 4)
-    att_t = attention_weights.transpose(0, 2, 1, 3, 4)  # (B, H, N, L, P)
-    # Same reduction order as the reference kernel: bilinear-combine the 4
-    # neighbours, weight by attention, then reduce points and levels.
-    acc = jnp.sum(g * wgt_t[..., None], axis=5)       # (B, H, N, L, P, D)
-    out = jnp.sum(acc * att_t[..., None], axis=(3, 4))  # (B, H, N, D)
-    return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+        loc = sampling_locations[:, :, :, lvl]      # (B, N, H, P, 2)
+        att = attention_weights[:, :, :, lvl]       # (B, N, H, P)
+
+        x = loc[..., 0] * w - 0.5                   # (B, N, H, P)
+        y = loc[..., 1] * h - 0.5
+
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0                                  # bilinear weights
+        ly = y - y0
+
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        acc = jnp.zeros((B, N, H, P, D), dtype=value.dtype)
+        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            xi = x0i + dx
+            yi = y0i + dy
+            wgt = (lx if dx else (1.0 - lx)) * (ly if dy else (1.0 - ly))
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            # (B, N, H, P) -> (B*H, N*P)
+            flat = flat.transpose(0, 2, 1, 3).reshape(B * H, N * P)
+            gathered = jnp.take_along_axis(val, flat[..., None], axis=1)
+            gathered = gathered.reshape(B, H, N, P, D).transpose(0, 2, 1, 3, 4)
+            acc = acc + gathered * (wgt * inside)[..., None]
+
+        out = out + jnp.sum(acc * att[..., None], axis=3)  # reduce points
+
+    return out.reshape(B, N, H * D)
 
 
 def ms_deform_attn_core_naive(
