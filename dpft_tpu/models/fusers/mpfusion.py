@@ -324,9 +324,19 @@ class IMPFusion(nn.Module):
 def build_mpfusion(config: Dict[str, Any], head=None) -> IMPFusion:
     from dpft_tpu.models.layers.common import get_compute_dtype
     if config.get("pallas_msda"):
-        # Route the parameter-free sampling core through the fused Pallas
-        # kernel (ops/pallas/deform_attn.py); measured head-to-head by
-        # scripts/bench_msda.py.
+        # Route the parameter-free sampling core through the Pallas
+        # kernel (ops/pallas/deform_attn.py). Interpreter-mode only:
+        # Mosaic cannot lower the kernel's gathers on real TPU (see the
+        # module docstring; Mosaic gather = full-lane take_along_axis
+        # only), so reject the config early instead of failing later
+        # with a cryptic per-shape lowering error mid-compile.
+        import jax
+        if jax.default_backend() != "cpu":
+            raise ValueError(
+                "fuser.pallas_msda is interpreter-mode only: Mosaic "
+                "cannot lower the kernel's lane gathers on TPU "
+                "(ops/pallas/deform_attn.py docstring has the measured "
+                "detail); use the default XLA core on this backend.")
         from dpft_tpu.ops.deform_attn import set_msda_backend
         set_msda_backend("pallas")
     return IMPFusion(

@@ -4,13 +4,28 @@ Drop-in behind the `ms_deform_attn_core` signature (ops/deform_attn.py),
 replacing the reference's external CUDA kernel (reference
 src/dprt/models/layers/ms_deform_attn.py:27-68, built in Dockerfile:32-39).
 
-Design (TPU-first):
+STATUS (measured 2026-08-19, jax 0.9.0 Mosaic on the v5e): this kernel
+does NOT lower on the real TPU toolchain — Mosaic's `lax.gather` support
+is limited to full-lane-width `take_along_axis` (indices shaped like the
+input; mosaic/lowering.py:_gather_lowering_rule), which rejects the
+kernel's (D, Len) x (N*P) lane gathers ("Shape mismatch in input, indices
+and output"), and reformulating to the supported full-width
+`tpu.dynamic_gather` both crashes the axon remote compiler (HTTP 500) and
+is 480 ms/call when XLA emits it outside Pallas (scripts/probe_gather.py:
+d/e variants). The kernel therefore runs only in interpreter mode (CPU
+tests pin numerical parity) and `fuser.pallas_msda` must stay off on TPU;
+the production core is the pure-XLA per-level/per-neighbour gather form,
+chosen by a single-process A/B at train shapes (ops/deform_attn.py,
+scripts/probe_msda_ab.py: fwd+bwd 25.0/12.8/10.8 ms per call vs 2.5-60x
+worse alternatives).
+
+Design as written (kept as the record of the attempted TPU-first shape):
  - Grid over (batch, head): each program owns one (b, h) slice. The value
    map is staged HBM->VMEM once per program as a (D, Len) block with the
    flattened spatial axis on LANES, so the 2x2-neighbourhood reads become
-   four lane-axis gathers (`jnp.take` along axis 1) that Mosaic lowers to
-   its dynamic-gather path; at flagship shapes the largest view's slice is
-   ~4 MB (camera, Len~5e5 x D=2 f32), well inside VMEM.
+   four lane-axis gathers (`jnp.take` along axis 1); at flagship shapes
+   the largest view's slice is ~4 MB (camera, Len~5e5 x D=2 f32), well
+   inside VMEM.
  - Everything downstream of the gathers (bilinear weights, zero padding
    outside the map, the softmaxed attention-weight reduction over points
    and levels) is fused into the same kernel pass, so the sampled
@@ -27,10 +42,8 @@ recompute of the forward gathers inside the VJP is the standard remat
 trade. Numerical parity fwd+bwd vs the XLA core is pinned in
 tests/test_pallas_deform_attn.py.
 
-Whether the fused kernel actually beats the XLA core at train shapes is an
-empirical question answered by scripts/bench_msda.py on the real chip; the
-model layer selects the winner via `fuser.pallas_msda` (config) with the
-measured numbers recorded in STATUS.md.
+scripts/bench_msda.py records the lowering failure per shape when run on
+the chip; STATUS.md §2.8 carries the decision.
 """
 
 from __future__ import annotations
