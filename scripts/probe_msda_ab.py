@@ -18,6 +18,7 @@ comparison. Run on the real TPU.
 """
 import functools
 import json
+import os
 import os.path as osp
 import sys
 import time
@@ -122,6 +123,48 @@ def v3_core(value, spatial_shapes, loc_all, att_all):
     return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
 
+def v4_core(value, spatial_shapes, loc_all, att_all):
+    """Matmul core: bilinear sampling as separable relu-distance matmuls.
+
+    Ay[s, i] = relu(1 - |y_s - i|) is EXACTLY the zero-padded bilinear
+    row weight (out-of-map rows get 0; edge fractions match the
+    align_corners=False convention), so per level
+        sampled[s] = sum_j Ax[s, j] * (Ay @ V)[s, j, :]
+    computes the same result as the gather core with NO gather in the
+    forward and NO scatter in the backward (d_V = Ay^T @ ..., d_loc
+    through the relu/abs — all MXU/VPU work). FLOP-wasteful but the MXU
+    is ~1000x faster per useful element than the ~100M rows/s gather
+    rate / ~10M rows/s scatter rate that bound the gather cores.
+    """
+    B, Len, H, D = value.shape
+    N = loc_all.shape[1]
+    P = loc_all.shape[4]
+    level_sizes = [h * w for h, w in spatial_shapes]
+    splits = list(np.cumsum(level_sizes)[:-1])
+    level_values = jnp.split(value, splits, axis=1)
+    out = jnp.zeros((B * H, N * P, D), dtype=value.dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        val = level_values[lvl].transpose(0, 2, 1, 3)      # (B, H, hw, D)
+        val = val.reshape(B * H, h, w * D)
+        loc = loc_all[:, :, :, lvl]                        # (B, N, H, P, 2)
+        x = (loc[..., 0] * w - 0.5).transpose(0, 2, 1, 3).reshape(
+            B * H, N * P)
+        y = (loc[..., 1] * h - 0.5).transpose(0, 2, 1, 3).reshape(
+            B * H, N * P)
+        ay = jax.nn.relu(1.0 - jnp.abs(
+            y[..., None] - jnp.arange(h, dtype=y.dtype)))   # (BH, NP, h)
+        ax = jax.nn.relu(1.0 - jnp.abs(
+            x[..., None] - jnp.arange(w, dtype=x.dtype)))   # (BH, NP, w)
+        tmp = jnp.einsum("bsh,bhw->bsw", ay, val,
+                         preferred_element_type=value.dtype)
+        tmp = tmp.reshape(B * H, N * P, w, D)
+        sampled = jnp.einsum("bswd,bsw->bsd", tmp, ax)
+        out = out + sampled * att_all[:, :, :, lvl].transpose(
+            0, 2, 1, 3).reshape(B * H, N * P, 1)
+    out = out.reshape(B, H, N, P, D).sum(axis=3)           # (B, H, N, D)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+
 from dpft_tpu.ops.deform_attn import _ms_deform_attn_xla as v2_core
 
 
@@ -140,9 +183,14 @@ SHAPES = [
     ([[256, 107], [64, 27], [32, 14], [16, 7], [8, 4]], 29712),
     ([[37, 107], [10, 27], [5, 14], [3, 7], [2, 4]], 4328),
 ]
-B, H, D, N, P = 4, 8, 2, 220, 4
+B, H, D, N, P = 4, 8, 2, int(os.environ.get("PROBE_N", "400")), 4
 rng = np.random.default_rng(0)
-cores = {"v1_20gather": v1_core, "v2_1gather": v2_core, "v3_patch": v3_core}
+# v2/v3 already measured (2026-08-19, N=220: v2 fwd+bwd 2.5x worse than
+# v1, v3 backward catastrophic); PROBE_CORES selects what to time now.
+all_cores = {"v1_20gather": v1_core, "v2_1gather": v2_core,
+             "v3_patch": v3_core, "v4_matmul": v4_core}
+sel = os.environ.get("PROBE_CORES", "v1_20gather,v4_matmul").split(",")
+cores = {k: all_cores[k] for k in sel}
 
 for ss_list, Len in SHAPES:
     ss = tuple(tuple(s) for s in ss_list)
@@ -165,7 +213,7 @@ for ss_list, Len in SHAPES:
         g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
         entry[f"{name}_fwdbwd_ms"] = timeit(g, value, loc, att)
 
-    ref = outs["v1_20gather"]
+    ref = outs[next(iter(outs))]
     for name, o in outs.items():
         entry[f"{name}_maxerr"] = float(np.abs(o - ref).max())
     print(json.dumps(entry), flush=True)
