@@ -12,13 +12,14 @@ Sampling convention (parity with the CUDA kernel): a normalized location
 ``loc`` in [0, 1] maps to continuous pixel coordinates ``loc * size - 0.5``
 (align_corners=False). Neighbours that fall outside the map contribute zero.
 
-The implementation is pure XLA: 4 batched gathers per level with
-``take_along_axis`` over the flattened spatial axis. Spatial shapes are
-static (Python ints), so the per-level loop unrolls at trace time — there is
-no dynamic shape anywhere. XLA autodiff provides the backward pass
-(gather -> scatter-add), matching the reference backward semantics
-(ms_deform_attn.py:49-68). A fused Pallas kernel can be swapped in behind
-the same signature.
+The implementation is pure XLA and per-level HYBRID (measured decision,
+see _ms_deform_attn_xla): huge levels sample via 4 neighbour gathers over
+the flattened spatial axis, small levels via separable relu-distance
+matmuls on the MXU (no gather in the forward, no scatter in the
+backward). Spatial shapes are static (Python ints), so the per-level loop
+unrolls at trace time — there is no dynamic shape anywhere. XLA autodiff
+provides the backward pass, matching the reference backward semantics
+(ms_deform_attn.py:49-68).
 """
 
 from __future__ import annotations
@@ -93,24 +94,30 @@ def _ms_deform_attn_xla(
     assert sum(h * w for h, w in spatial_shapes) == Len, (spatial_shapes, Len)
     assert sampling_locations.shape[3] == L
 
-    # Formulation choice (single-process interleaved A/B on the v5e,
-    # readback-fenced, scripts/probe_msda_ab.py, 2026-08-19): XLA executes
-    # gathers at a ~fixed per-ROW rate (~100M (1,1,D)-slice rows/s,
-    # independent of operand size — scripts/probe_gather.py), so all
-    # formulations with the same 563k rows/call tie in the forward
-    # (v1 per-level-per-neighbour 6.0/4.2/4.6 ms, v2 one consolidated
-    # gather 8.6/6.2/5.6 ms per call at Len 504688/29712/4328). The
-    # BACKWARD separates them: autodiff of 20 small gathers emits 20
-    # small scatter-adds (fwd+bwd 25.0/12.8/10.8 ms) which XLA lowers
-    # 2.5x better than the single big scatter of the consolidated form
-    # (62.6/30.1/16.0 ms); a (2,2,D)-patch-slice gather (4x fewer rows)
-    # is fastest forward on small maps but its patch-scatter backward is
-    # catastrophic (560-700 ms). Mosaic cannot lower any of these
-    # (gather support = full-lane-width take_along_axis only; see
-    # ops/pallas/deform_attn.py), so this per-level/per-neighbour XLA
-    # core is the measured winner for training.
-
-    # Split the flattened value into per-level maps at trace time.
+    # Formulation (single-process interleaved A/Bs on the v5e at flagship
+    # N=400 train shapes, readback-fenced — scripts/probe_msda_ab.py,
+    # probe_msda_hybrid.py, probe_gather.py, probe_gather_mode.py,
+    # 2026-08-19). The hardware facts that drive it:
+    #   * XLA TPU gathers run at a fixed per-ROW rate (~100M one-element
+    #     rows/s, operand-size independent; mode/sortedness irrelevant),
+    #     and the backward's scatter-adds at ~10M rows/s — so a gather
+    #     realization costs ~2 ms fwd + ~8 ms bwd PER LEVEL regardless of
+    #     the level's size.
+    #   * The MXU is effectively free next to those rates: expressing
+    #     zero-padded bilinear sampling as separable relu-distance
+    #     matmuls, sampled = sum_j Ax[s,j] * (Ay @ V)[s,j,:] with
+    #     Ay[s,i] = relu(1 - |y_s - i|), replaces every gather (forward)
+    #     and every scatter (backward: d_V = Ay^T-matmul, d_loc through
+    #     relu/abs) with dense MXU/VPU work of size NP x (h + w + w*D).
+    # The matmul form therefore wins everywhere except levels so large
+    # that its dense FLOPs/HBM exceed the fixed gather cost. Measured at
+    # the camera view (levels 512x910 ... 16x29): pure-gather fwd+bwd
+    # 42.8 ms, pure-matmul 27.0 ms, hybrid (gather for h+w > 600) 25.7 ms
+    # f32 and 14.2 ms bf16, with the radar views (all levels small) at
+    # 1.9-2.4 ms pure-matmul vs 20-23 ms pure-gather. Full train step:
+    # ~342 ms MSDA -> ~120 ms f32. Mosaic cannot lower any fused-kernel
+    # variant (gather = full-lane take_along_axis only; see
+    # ops/pallas/deform_attn.py), so this hybrid XLA core is production.
     level_sizes = [h * w for h, w in spatial_shapes]
     splits = []
     acc = 0
@@ -119,43 +126,77 @@ def _ms_deform_attn_xla(
         splits.append(acc)
     level_values = jnp.split(value, splits, axis=1)
 
-    out = jnp.zeros((B, N, H, D), dtype=value.dtype)
-
+    out = jnp.zeros((B * H, N * P, D), dtype=value.dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
-        val = level_values[lvl]  # (B, h*w, H, D)
-        # Heads to the batch axis for a single big gather: (B*H, h*w, D)
-        val = val.transpose(0, 2, 1, 3).reshape(B * H, h * w, D)
+        val = level_values[lvl]                      # (B, h*w, H, D)
+        val = val.transpose(0, 2, 1, 3)              # (B, H, h*w, D)
+        loc = sampling_locations[:, :, :, lvl]       # (B, N, H, P, 2)
+        att = attention_weights[:, :, :, lvl]        # (B, N, H, P)
+        x = (loc[..., 0] * w - 0.5).transpose(0, 2, 1, 3).reshape(
+            B * H, N * P)
+        y = (loc[..., 1] * h - 0.5).transpose(0, 2, 1, 3).reshape(
+            B * H, N * P)
+        if h + w > _MATMUL_MAX_HW:
+            sampled = _sample_level_gather(
+                val.reshape(B * H, h * w, D), h, w, x, y)
+        else:
+            sampled = _sample_level_matmul(
+                val.reshape(B * H, h, w * D), h, w, x, y)
+        out = out + sampled * att.transpose(0, 2, 1, 3).reshape(
+            B * H, N * P, 1)
 
-        loc = sampling_locations[:, :, :, lvl]      # (B, N, H, P, 2)
-        att = attention_weights[:, :, :, lvl]       # (B, N, H, P)
+    out = out.reshape(B, H, N, P, D).sum(axis=3)     # reduce points
+    return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)
 
-        x = loc[..., 0] * w - 0.5                   # (B, N, H, P)
-        y = loc[..., 1] * h - 0.5
 
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0                                  # bilinear weights
-        ly = y - y0
+# Per-level realization cutoff: levels with h + w <= this use the matmul
+# form, larger ones the gather form (measured crossover; see
+# _ms_deform_attn_xla's formulation note — at the flagship shapes only
+# the camera's 512x910 level exceeds it).
+_MATMUL_MAX_HW = 600
 
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
 
-        acc = jnp.zeros((B, N, H, P, D), dtype=value.dtype)
-        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-            xi = x0i + dx
-            yi = y0i + dy
-            wgt = (lx if dx else (1.0 - lx)) * (ly if dy else (1.0 - ly))
-            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            # (B, N, H, P) -> (B*H, N*P)
-            flat = flat.transpose(0, 2, 1, 3).reshape(B * H, N * P)
-            gathered = jnp.take_along_axis(val, flat[..., None], axis=1)
-            gathered = gathered.reshape(B, H, N, P, D).transpose(0, 2, 1, 3, 4)
-            acc = acc + gathered * (wgt * inside)[..., None]
+def _sample_level_gather(val, h, w, x, y):
+    """Zero-padded bilinear sampling via 4 neighbour gathers.
 
-        out = out + jnp.sum(acc * att[..., None], axis=3)  # reduce points
+    val: (BH, h*w, D); x, y: (BH, S) continuous pixel coords.
+    Returns (BH, S, D).
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    sampled = jnp.zeros(x.shape + (val.shape[-1],), dtype=val.dtype)
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        xi = x0i + dx
+        yi = y0i + dy
+        wgt = (lx if dx else (1.0 - lx)) * (ly if dy else (1.0 - ly))
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        g = jnp.take_along_axis(val, flat[..., None], axis=1)
+        sampled = sampled + g * (wgt * inside)[..., None]
+    return sampled
 
-    return out.reshape(B, N, H * D)
+
+def _sample_level_matmul(val, h, w, x, y):
+    """Zero-padded bilinear sampling as separable relu-distance matmuls.
+
+    Ay[s, i] = relu(1 - |y_s - i|) is exactly the zero-padded bilinear
+    row weight (out-of-map rows weight 0, align_corners=False edge
+    fractions preserved), so no gather appears in the forward and no
+    scatter in the backward. val: (BH, h, w*D); returns (BH, S, D).
+    """
+    D = val.shape[-1] // w
+    ay = jax.nn.relu(1.0 - jnp.abs(
+        y[..., None] - jnp.arange(h, dtype=y.dtype)))   # (BH, S, h)
+    ax = jax.nn.relu(1.0 - jnp.abs(
+        x[..., None] - jnp.arange(w, dtype=x.dtype)))   # (BH, S, w)
+    tmp = jnp.einsum("bsh,bhw->bsw", ay, val,
+                     preferred_element_type=val.dtype)
+    tmp = tmp.reshape(tmp.shape[0], tmp.shape[1], w, D)
+    return jnp.einsum("bswd,bsw->bsd", tmp, ax)
 
 
 def ms_deform_attn_core_naive(
