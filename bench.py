@@ -117,7 +117,7 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
             from dpft_tpu.utils.profiling import cost_analysis
             cost = cost_analysis(lambda v, b: model.apply(v, b, train=False),
                                  variables, batch)
-            batch_sec = float(np.median(timings)) / 1e3
+            batch_sec = ms_per_batch / 1e3
             result["forward_flops"] = cost["flops"]
             result["achieved_tflops"] = round(
                 cost["flops"] / batch_sec / 1e12, 3)
