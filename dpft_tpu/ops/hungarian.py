@@ -42,6 +42,13 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
 
     def augment_row(cur_row, state):
         u, v, col4row, row4col = state
+        # Rows already assigned by the column-reduction warm start are
+        # skipped DATA-DEPENDENTLY (not lax.cond: under vmap a cond turns
+        # into both-branches-execute, while these masks make the skipped
+        # row contribute ZERO iterations to the batched while loops —
+        # their conditions are false from the start, so a batch element
+        # only pays for the rows it actually needs to augment).
+        skip = col4row[cur_row] >= 0
 
         # --- Dijkstra from cur_row until an unassigned column is reached.
         # The loop is explicitly bounded by C iterations (each scans one
@@ -78,7 +85,7 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
             jnp.zeros((C,), bool),               # scanned columns
             cur_row,
             jnp.float32(0.0),
-            jnp.int32(-1),
+            jnp.where(skip, 0, -1),              # sink >= 0 -> loop no-op
             jnp.int32(0),
         )
         shortest, path, sr, sc, _, min_val, sink, _ = jax.lax.while_loop(
@@ -112,15 +119,38 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
 
         _, col4row, row4col, _, _ = jax.lax.while_loop(
             aug_cond, aug_body,
-            (sink, col4row, row4col, jnp.bool_(False), jnp.int32(0))
+            (sink, col4row, row4col, skip, jnp.int32(0))
         )
         return u, v, col4row, row4col
 
+    # --- LAPJV-style ROW-reduction warm start (Jonker & Volgenant 1987
+    # §2, transposed for the rectangular R <= C case): u[i] = min_j
+    # cost[i, j], v = 0, and every row is greedily assigned to its argmin
+    # column (winner among duplicate claims is implementation-defined —
+    # every claimed pair is tight, so any maximal greedy choice is
+    # valid). These are exactly the invariants the augmenting-path phase
+    # maintains — reduced costs >= 0, matched pairs tight, and v == 0 on
+    # never-scanned (hence unmatched) columns, the rectangular-LP
+    # complementary-slackness condition (a COLUMN reduction would violate
+    # that last one: it puts nonzero v on columns that end up unmatched,
+    # which silently breaks optimality) — so the result stays the exact
+    # optimum while the sequential Dijkstra scans collapse to the few
+    # rows the greedy pass left unassigned (at the flagship matcher
+    # shapes most targets claim distinct argmin queries and every padded
+    # row claims its dedicated virtual column, so ~0-5 of 64 rows augment
+    # instead of all 64).
+    u0 = jnp.min(cost, axis=1)                                   # (R,)
+    amin_col = jnp.argmin(cost, axis=1).astype(jnp.int32)        # (R,)
+    row4col0 = jnp.full((C,), -1, jnp.int32).at[amin_col].set(
+        jnp.arange(R, dtype=jnp.int32), mode="drop")
+    col4row0 = jnp.full((R,), -1, jnp.int32).at[
+        jnp.where(row4col0 >= 0, row4col0, R)].set(
+        jnp.arange(C, dtype=jnp.int32), mode="drop")
     init = (
-        jnp.zeros((R,), jnp.float32),
+        u0,
         jnp.zeros((C,), jnp.float32),
-        jnp.full((R,), -1, jnp.int32),
-        jnp.full((C,), -1, jnp.int32),
+        col4row0,
+        row4col0,
     )
     _, _, col4row, _ = jax.lax.fori_loop(0, R, augment_row, init)
     return col4row
