@@ -277,14 +277,23 @@ def bench_prepare(compute_dtype):
         config = kf.base_config()
         if compute_dtype:
             config["computing"]["compute_dtype"] = compute_dtype
-        # BENCH_PREPARE_DEVICE=cpu pins the reduction to the host XLA
-        # backend (for accelerator-less hosts; measured ~19 s/frame — CPU
-        # sort-based medians lose even to NumPy). The default device path
-        # through a TUNNELED chip is upload-bound (~18 s/frame: 260 MB at
-        # ~15 MB/s), which says nothing about a co-located deployment
-        # (>=10 GB/s H2D -> ~40 ms/frame); see the breakdown fields.
+        # BENCH_PREPARE_DEVICE selects the reduction backend:
+        #   default -> accelerator (Pallas on TPU). Through a TUNNELED chip
+        #             this is upload-bound (~18 s/frame: 260 MB at
+        #             ~15 MB/s), which says nothing about a co-located
+        #             deployment (>=10 GB/s H2D -> ~40 ms/frame).
+        #   native  -> host SIMD kernel (native/radar_reduce.cc,
+        #             ~0.6 s/frame on one core) — the right backend when
+        #             the chip is remote or absent.
+        #   cpu     -> host XLA backend (measured ~19 s/frame — XLA:CPU
+        #             sort-based medians lose even to NumPy).
+        # BENCH_PREPARE_WORKERS (default 2 for native, else 1) overlaps
+        # .mat reads with reductions (the ctypes kernel releases the GIL).
         prep_dev = os.environ.get("BENCH_PREPARE_DEVICE", "default")
         config["computing"]["prepare_device"] = prep_dev
+        workers = int(os.environ.get(
+            "BENCH_PREPARE_WORKERS", "2" if prep_dev == "native" else "1"))
+        config["data"]["workers"] = workers
         from dpft_tpu.data import prepare as prepare_dataset
         proc = prepare_dataset("kradar", config)
 
@@ -311,13 +320,17 @@ def bench_prepare(compute_dtype):
         baseline_ms = 15376.0  # STATUS.md reference-NumPy per frame
         baseline_source = "reference-style NumPy path, recorded (STATUS.md)"
         if os.environ.get("BENCH_PREPARE_BASELINE", "1") == "1":
+            # End-to-end-comparable baseline: the reference's per-frame hot
+            # path is .mat read + NumPy reduction (processor.py:588-633),
+            # sequential — time both phases on THIS host.
             from dpft_tpu.ops.radar_reduce import reduce_tesseract_np
-            tess = proc.get_radar_tesseract(first_mat)
             t0 = time.perf_counter()
+            tess = proc.get_radar_tesseract(first_mat)
             reduce_tesseract_np(tess)
             baseline_ms = (time.perf_counter() - t0) * 1e3
-            baseline_source = ("reference-style NumPy reduction measured "
-                               "on this host (one frame, reduction only)")
+            baseline_source = ("reference-style sequential .mat read + "
+                               "NumPy reduction measured on this host "
+                               "(one frame)")
 
         frames_per_sec = n_frames / dt
         gb_per_sec = raw_bytes / dt / 1e9

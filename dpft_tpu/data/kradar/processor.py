@@ -76,13 +76,14 @@ class KRadarProcessor:
         self.dtype = np.dtype(dtype)
         self.use_device = use_device
         # 'default' runs the reduction on the default accelerator; 'cpu'
-        # pins it to the host XLA backend (no device transfer). Measured
+        # pins it to the host XLA backend (no device transfer); 'native'
+        # uses the host SIMD kernel (native/radar_reduce.cc). Measured
         # (readback-fenced, scripts/bench_radar_reduce.py): on-device
-        # Pallas 12.7 ms/frame and XLA 34.5 ms/frame, vs host-XLA ~19 s
-        # and reference-style NumPy ~8-15 s — the sort-based medians that
-        # fly on the TPU crawl on CPU, so 'cpu' is only for hosts with no
-        # accelerator at all. Through a TUNNELED chip the 260 MB/frame
-        # upload dominates end-to-end prepare (~18 s/frame at ~15 MB/s);
+        # Pallas 12.7 ms/frame and XLA 34.5 ms/frame, vs host-XLA ~19 s,
+        # native ~0.6 s, and reference-style NumPy ~11 s on one core —
+        # XLA:CPU's sort-based medians crawl, so 'cpu' is a last resort.
+        # Through a TUNNELED chip the 260 MB/frame upload dominates
+        # end-to-end prepare (~18 s/frame at ~15 MB/s) and 'native' wins;
         # on a co-located chip (>=10 GB/s H2D) the device path is
         # ~40 ms/frame end-to-end (reference hot loop processor.py:588-633).
         self.prepare_device = prepare_device
@@ -265,6 +266,17 @@ class KRadarProcessor:
         `use_device=False` selects the NumPy path.
         """
         tesseract = self.get_radar_tesseract(filename)
+        if self.prepare_device == "native":
+            # Host SIMD kernel (native/radar_reduce.cc): ~0.6 s/frame on
+            # one core vs ~11 s reference-style NumPy — the right path when
+            # the accelerator is remote (upload dominates) or absent. The
+            # ctypes call releases the GIL, so prepare workers overlap .mat
+            # reads with reductions.
+            from dpft_tpu.ops.radar_reduce_native import \
+                reduce_tesseract_native
+            ra, ea = reduce_tesseract_native(tesseract)
+            return (ra.astype(self.dtype, copy=False),
+                    ea.astype(self.dtype, copy=False))
         if self.use_device:
             import jax
             if self.prepare_device == "cpu":
