@@ -94,9 +94,8 @@ def reduce_tesseract_native(tesseract: np.ndarray
     # -Ofast precondition: log10 of a non-positive power would be -inf/NaN
     # under finite-math assumptions. The NumPy path would produce the same
     # garbage silently; fail loudly instead.
-    if not tesseract.flags["C_CONTIGUOUS"] or tesseract.min() <= 0.0:
-        if tesseract.min() <= 0.0:
-            raise ValueError("radar powers must be strictly positive")
+    if tesseract.min() <= 0.0:
+        raise ValueError("radar powers must be strictly positive")
     raster = np.ascontiguousarray(
         np.asarray(radar_info.doppler_raster, np.float32))
     if raster.shape[0] < D:

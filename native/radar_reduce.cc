@@ -74,14 +74,18 @@ void bitonic_sort_rows(float* buf, int P, int A) {
 }
 
 // Median across n rows via a padded bitonic sort: pads to the next power of
-// two with +inf rows (they sink to the top, so ranks < n are unchanged).
+// two with FLT_MAX rows (they sink to the top, so ranks < n are unchanged).
+// FLT_MAX, not +inf: the library is compiled -Ofast (-ffinite-math-only),
+// under which infinities flowing through the compare-exchanges are formally
+// UB. All real data is 10*log10 of finite positive floats, so FLT_MAX still
+// ranks above every real row.
 void median_rows_bitonic(const float* src, int n, int A, float* out,
                          float* scratch) {
   int P = 1;
   while (P < n) P <<= 1;
   std::memcpy(scratch, src, (size_t)n * A * sizeof(float));
-  const float inf = std::numeric_limits<float>::infinity();
-  for (size_t i = (size_t)n * A; i < (size_t)P * A; ++i) scratch[i] = inf;
+  const float pad = std::numeric_limits<float>::max();
+  for (size_t i = (size_t)n * A; i < (size_t)P * A; ++i) scratch[i] = pad;
   bitonic_sort_rows(scratch, P, A);
   if (n & 1) {
     std::memcpy(out, scratch + (size_t)(n / 2) * A, (size_t)A * sizeof(float));
