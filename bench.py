@@ -146,8 +146,19 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     # BENCH_FLAT=1   -> train.flat_optimizer (AdamW moments in one
     #                   ravelled buffer: ~3x fewer state buffers/ops)
     # BENCH_NO_METRIC=1 -> evaluating=-1 (skip the per-step mAP/mGIoU)
+    # BENCH_HOIST=0  -> train.hoist_matcher=False (matcher embedded in
+    #                   the one fused step program; probe_step_structures)
+    # BENCH_FWD_ONCE=1 -> train.forward_once + computing.remat (vjp
+    #                   forward-once with backbone rematerialization)
     if os.environ.get("BENCH_FLAT", "0") == "1":
         config.setdefault("train", {})["flat_optimizer"] = True
+    if os.environ.get("BENCH_HOIST", "1") == "0":
+        config.setdefault("train", {})["hoist_matcher"] = False
+    if os.environ.get("BENCH_FWD_ONCE", "0") == "1":
+        config.setdefault("train", {})["forward_once"] = True
+        config.setdefault("computing", {})["remat"] = True
+        from dpft_tpu.models import build as _build
+        model = _build(config["model"]["name"], config)
     trainer = CentralizedTrainer.from_config(config)
     if os.environ.get("BENCH_NO_METRIC", "0") == "1":
         trainer.evaluating = -1
@@ -216,6 +227,15 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
         print(f"flops probe unavailable: {e}", file=sys.stderr)
 
     achieved = flops / sec_per_step if flops else 0.0
+    # HBM high-water mark (bytes) if the backend exposes allocator stats —
+    # the B-scaling study needs the memory frontier alongside the time one.
+    peak_bytes = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            peak_bytes = int(stats.get("peak_bytes_in_use", 0)) or None
+    except Exception:
+        pass
     # NOTE: flops come from XLA's HLO cost analysis (the reference's
     # equivalent is the DeepSpeed profiler estimate, evaluator.py:71-94).
     # It is the compiler's static estimate, not a hardware counter; at
@@ -237,6 +257,8 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
         "grad_step_flops": flops,
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS_BF16, 5),
+        "peak_hbm_gb": (round(peak_bytes / 2 ** 30, 3)
+                        if peak_bytes else None),
         "flops_source": "xla_cost_analysis (static HLO estimate; "
                         "upper bound, not a hardware counter)",
     }

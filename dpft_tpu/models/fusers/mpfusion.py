@@ -323,7 +323,13 @@ class IMPFusion(nn.Module):
 
 def build_mpfusion(config: Dict[str, Any], head=None) -> IMPFusion:
     from dpft_tpu.models.layers.common import get_compute_dtype
-    if config.get("pallas_msda"):
+    if config.get("pallas_msda") == "mm":
+        # Fused Pallas kernel for the MATMUL levels of the hybrid core
+        # (ops/pallas/deform_attn_mm.py) — Mosaic-lowerable on real TPU
+        # (the matmul form has no gathers); gather levels stay on XLA.
+        from dpft_tpu.ops.deform_attn import set_msda_backend
+        set_msda_backend("pallas_mm")
+    elif config.get("pallas_msda"):
         # Route the parameter-free sampling core through the Pallas
         # kernel (ops/pallas/deform_attn.py). Interpreter-mode only:
         # Mosaic cannot lower the kernel's gathers on real TPU (see the

@@ -29,18 +29,25 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-# Sampling-core backend: 'xla' (gather core below) or 'pallas' (fused
-# kernel, ops/pallas/deform_attn.py). The core is parameter-free, so the
-# switch cannot affect checkpoints; it is read at TRACE time, selected by
-# the model builder from config `fuser.pallas_msda` (models/fusers/
-# mpfusion.py:build_mpfusion) and benchmarked head-to-head by
-# scripts/bench_msda.py.
+# Sampling-core backend:
+#   'xla'       hybrid gather/matmul core below (production default)
+#   'pallas_mm' same hybrid, but the matmul levels run the FUSED Pallas
+#               kernel (ops/pallas/deform_attn_mm.py: Ay/Ax construction,
+#               both einsums, and the attention multiply in VMEM, custom
+#               fused backward) — Mosaic-lowerable because the matmul
+#               form has no gathers. A/B'd by scripts/probe_msda_fused.py.
+#   'pallas'    the round-2 gather-based fused kernel (ops/pallas/
+#               deform_attn.py); interpreter-only, rejected on real TPU
+#               (Mosaic gather limits), kept for the record.
+# The core is parameter-free, so the switch cannot affect checkpoints; it
+# is read at TRACE time, selected by the model builder from config
+# `fuser.pallas_msda` (models/fusers/mpfusion.py:build_mpfusion).
 _BACKEND = "xla"
 
 
 def set_msda_backend(name: str) -> None:
     global _BACKEND
-    if name not in ("xla", "pallas"):
+    if name not in ("xla", "pallas", "pallas_mm"):
         raise ValueError(f"Unknown MSDA backend: {name!r}")
     _BACKEND = name
 
@@ -74,8 +81,9 @@ def ms_deform_attn_core(
         return ms_deform_attn_pallas(value, tuple(spatial_shapes),
                                      sampling_locations, attention_weights,
                                      jax.default_backend() == "cpu")
-    return _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
-                               attention_weights)
+    return _ms_deform_attn_hybrid(value, spatial_shapes, sampling_locations,
+                                  attention_weights,
+                                  use_fused=_BACKEND == "pallas_mm")
 
 
 def _ms_deform_attn_xla(
@@ -84,9 +92,23 @@ def _ms_deform_attn_xla(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
-    """The pure-XLA gather realization (backend-dispatch-free: the Pallas
-    kernel's custom VJP differentiates THIS function for its backward, so
-    it must never route back through ms_deform_attn_core)."""
+    """The pure-XLA hybrid realization (backend-dispatch-free: the Pallas
+    gather kernel's custom VJP differentiates THIS function for its
+    backward, so it must never route back through ms_deform_attn_core)."""
+    return _ms_deform_attn_hybrid(value, spatial_shapes,
+                                  sampling_locations, attention_weights,
+                                  use_fused=False)
+
+
+def _ms_deform_attn_hybrid(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    use_fused: bool = False,
+) -> jnp.ndarray:
+    """Per-level hybrid core; use_fused routes the matmul levels to the
+    fused Pallas kernel (identical math, VMEM-resident intermediates)."""
     B, Len, H, D = value.shape
     N = sampling_locations.shape[1]
     L = len(spatial_shapes)
@@ -136,14 +158,20 @@ def _ms_deform_attn_xla(
             B * H, N * P)
         y = (loc[..., 1] * h - 0.5).transpose(0, 2, 1, 3).reshape(
             B * H, N * P)
+        att_flat = att.transpose(0, 2, 1, 3).reshape(B * H, N * P)
         if h + w > _MATMUL_MAX_HW:
             sampled = _sample_level_gather(
                 val.reshape(B * H, h * w, D), h, w, x, y)
+            out = out + sampled * att_flat[..., None]
+        elif use_fused:
+            from dpft_tpu.ops.pallas.deform_attn_mm import \
+                sample_level_fused
+            out = out + sample_level_fused(
+                val.reshape(B * H, h, w * D), x, y, att_flat, h, w)
         else:
             sampled = _sample_level_matmul(
                 val.reshape(B * H, h, w * D), h, w, x, y)
-        out = out + sampled * att.transpose(0, 2, 1, 3).reshape(
-            B * H, N * P, 1)
+            out = out + sampled * att_flat[..., None]
 
     out = out.reshape(B, H, N, P, D).sum(axis=3)     # reduce points
     return out.transpose(0, 2, 1, 3).reshape(B, N, H * D)

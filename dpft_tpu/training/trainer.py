@@ -106,8 +106,9 @@ class CentralizedTrainer:
         #
         # recompute (default): matcher consumes a dedicated forward; the
         #   grad program re-runs the forward internally (same dropout rng
-        #   => identical activations). The duplicate forward costs ~30 ms
-        #   of a ~0.5 s step at flagship B=4 (f32, v5e).
+        #   => identical activations). With the round-3 hybrid MSDA core
+        #   the duplicate forward costs ~86 ms of the ~380 ms step at
+        #   flagship B=4 (f32, v5e) — scripts/probe_budget_truth.py.
         # forward_once (train.forward_once): forward under jax.vjp; the
         #   pullback (a pytree of residuals) crosses the jit boundary and
         #   the tail runs ONE model backward. Numerically identical, but
@@ -117,7 +118,17 @@ class CentralizedTrainer:
         #   recompute is not worth gigabytes of HBM on this hardware, so
         #   recompute is the default; forward_once remains available (and
         #   tested) for small models / memory-rich configurations.
-        split_matching = loss_fn is not None and loss_fn.use_assigner
+        # train.hoist_matcher=False embeds the matcher INSIDE the grad
+        # program instead (indices=None -> Loss computes the assignment
+        # inline under stop_gradient): one fused step, no duplicate
+        # forward. Viable only since the LAPJV row-reduction warm start
+        # (ops/hungarian.py) collapsed the JV augmenting loops to ~0
+        # iterations — the original hoisting measurement (while-loop
+        # iterations ~1000x slower inside the large executable) predates
+        # it. A/B'd by scripts/probe_step_structures.py.
+        split_matching = (loss_fn is not None and loss_fn.use_assigner
+                          and bool(self.config.get("train", {}).get(
+                              "hoist_matcher", True)))
         forward_once = bool(self.config.get("train", {}).get(
             "forward_once", False))
 

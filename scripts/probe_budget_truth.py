@@ -38,18 +38,26 @@ jtargets = jax.tree_util.tree_map(jnp.asarray, targets)
 rng = jax.random.PRNGKey(1)
 
 
-def percall(name, fn, *args, reps=10):
+def percall(name, fn, *args, reps=10, runs=3):
+    """Repeated-medians protocol (utils/profiling.benchmark_medians):
+    tunnel drift makes single-run lines +-70%, so each budget line is the
+    median of `runs` independent run-medians with the min-max half-spread
+    as its error bar."""
     out = fn(*args)
     sync(out)
-    rtt = readback_rtt_ms(jax.tree_util.tree_leaves(out)[0])
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        sync(out)
-        times.append((time.perf_counter() - t0) * 1e3)
-    med = max(float(np.median(times)) - rtt, 0.0)
-    print(f"{name:36s} {med:9.2f} ms  (rtt {rtt:.1f})", flush=True)
+    medians = []
+    for _ in range(runs):
+        rtt = readback_rtt_ms(jax.tree_util.tree_leaves(out)[0])
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            sync(out)
+            times.append((time.perf_counter() - t0) * 1e3)
+        medians.append(max(float(np.median(times)) - rtt, 0.0))
+    med = float(np.median(medians))
+    spread = (max(medians) - min(medians)) / 2.0
+    print(f"{name:36s} {med:9.2f} ms +- {spread:6.2f}", flush=True)
     return out
 
 
@@ -98,23 +106,28 @@ if metric is not None:
     percall("per-step metric", jax.jit(metric), out, jtargets)
 
 # Full trainer step, with and without per-step metric: chained states,
-# one tail fence per timed window.
+# one tail fence per timed window, repeated-medians across runs.
 for label, ev in [("full step (with metric)", 1),
                   ("full step (no metric)", -1)]:
     trainer.evaluating = ev
     train_fn, _ = trainer._make_steps(model, tx, create_mesh(data=1))
-    fresh = jax.tree_util.tree_map(jnp.copy, variables)
-    st = train_fn.place_state({
-        "params": fresh["params"], "batch_stats": fresh["batch_stats"],
-        "opt_state": tx.init(fresh["params"]),
-        "step": jnp.zeros((), jnp.int32)})
-    for _ in range(2):
-        st, tt, _, _ = train_fn(st, jbatch, jtargets, rng)
-    sync(tt)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        st, tt, _, _ = train_fn(st, jbatch, jtargets, rng)
-    sync(tt)
-    print(f"{label:36s} {(time.perf_counter() - t0) / 10 * 1e3:9.2f} ms",
-          flush=True)
+    medians = []
+    for _ in range(3):
+        fresh = jax.tree_util.tree_map(jnp.copy, variables)
+        st = train_fn.place_state({
+            "params": fresh["params"], "batch_stats": fresh["batch_stats"],
+            "opt_state": tx.init(fresh["params"]),
+            "step": jnp.zeros((), jnp.int32)})
+        for _ in range(2):
+            st, tt, _, _ = train_fn(st, jbatch, jtargets, rng)
+        sync(tt)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            st, tt, _, _ = train_fn(st, jbatch, jtargets, rng)
+        sync(tt)
+        medians.append((time.perf_counter() - t0) / 10 * 1e3)
+        del st, fresh
+    med = float(np.median(medians))
+    spread = (max(medians) - min(medians)) / 2.0
+    print(f"{label:36s} {med:9.2f} ms +- {spread:6.2f}", flush=True)
 print("done", flush=True)
