@@ -182,7 +182,8 @@ class Loss:
                  reduction: str = "mean",
                  use_assigner: bool = True,
                  losses: Dict[str, str] = None,
-                 loss_inputs: Dict[str, Any] = None):
+                 loss_inputs: Dict[str, Any] = None,
+                 cost_dtype: str = None):
         if reduction not in {"none", "mean", "sum"}:
             raise ValueError(f"Invalid reduction: {reduction}")
         self.loss_weights = dict(loss_weights)
@@ -191,6 +192,13 @@ class Loss:
         self.use_assigner = use_assigner
         self.losses = dict(losses or {})
         self.loss_inputs = dict(loss_inputs or {})
+        # train.cost_dtype (e.g. 'bfloat16'): dtype of the MATCHING cost
+        # matrix only. Matching is rank-based — the solve needs cost ORDER,
+        # not precision — and the cost build (exact GIoU clipping over
+        # 400x64 pairs/sample) dominates the matcher program; the loss
+        # terms themselves always stay float32. Assignment-equality
+        # evidence: scripts/probe_cost_bf16.py.
+        self.cost_dtype = jnp.dtype(cost_dtype) if cost_dtype else None
         for name in self.losses.values():
             if name not in _PLAIN_LOSSES:
                 raise ValueError(f"Unknown loss: {name}")
@@ -203,6 +211,7 @@ class Loss:
             use_assigner="anassigner" in config,
             losses=config.get("losses"),
             loss_inputs=config.get("loss_inputs"),
+            cost_dtype=config.get("cost_dtype"),
         )
 
     def _per_sample_plain(self, out_s, tgt_s):
@@ -231,20 +240,29 @@ class Loss:
         """
         def per_sample(out_s, tgt_s):
             sg = jax.lax.stop_gradient
-            cost = assigner_lib.cost_matrix(sg(out_s), sg(tgt_s),
-                                            self.loss_weights,
-                                            self.giou_weight)
+            cost = self._build_cost(sg(out_s), sg(tgt_s))
             return assigner_lib.hungarian_assign(cost, tgt_s["gt_mask"])
 
         targets = {k: v for k, v in targets.items() if k != "sample_mask"}
         return jax.vmap(per_sample)(outputs, targets)
+
+    def _build_cost(self, out_s, tgt_s):
+        """Unbatched matching cost, optionally in reduced precision
+        (cost_dtype); the solver consumes float32 either way."""
+        if self.cost_dtype is not None:
+            cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: x.astype(self.cost_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            out_s, tgt_s = cast(out_s), cast(tgt_s)
+        cost = assigner_lib.cost_matrix(out_s, tgt_s, self.loss_weights,
+                                        self.giou_weight)
+        return cost.astype(jnp.float32)
 
     def __call__(self, outputs: Dict[str, jnp.ndarray],
                  targets: Dict[str, jnp.ndarray],
                  indices: Tuple[jnp.ndarray, jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         weights = self.loss_weights
-        giou_weight = self.giou_weight
 
         # Padded tail-batch samples (loader pad_last policy) are weighted
         # out of every loss term and out of the 'mean' denominator.
@@ -262,8 +280,7 @@ class Loss:
                     # boxes whose backward is NaN, and NaN * 0-cotangent
                     # would poison the gradients.
                     sg = jax.lax.stop_gradient
-                    cost = assigner_lib.cost_matrix(sg(out_s), sg(tgt_s),
-                                                    weights, giou_weight)
+                    cost = self._build_cost(sg(out_s), sg(tgt_s))
                     i, j = assigner_lib.hungarian_assign(cost,
                                                          tgt_s["gt_mask"])
                 else:

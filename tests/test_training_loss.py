@@ -194,3 +194,42 @@ def test_optimizer_factory():
     state = tx.init(params)
     updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
     assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+def test_cost_dtype_bf16_assignment(rng):
+    """train.cost_dtype='bfloat16' builds the MATCHING cost in bf16;
+    matching is rank-based, so on separated boxes the assignment equals
+    the f32 one (the loss terms themselves always stay float32)."""
+    B, N, M, C = 2, 12, 4, 2
+    out = {
+        "class": rng.normal(0, 2, (B, N, C)).astype(np.float32),
+        "center": rng.uniform(5, 60, (B, N, 3)).astype(np.float32),
+        "size": rng.uniform(0.5, 4, (B, N, 3)).astype(np.float32),
+        "angle": rng.normal(0, 1, (B, N, 2)).astype(np.float32),
+    }
+    # Targets at a few of the predicted centers: unambiguous optimum.
+    tgt = {
+        "gt_class": np.zeros((B, M, C), np.float32),
+        "gt_center": out["center"][:, :M] + 0.1,
+        "gt_size": out["size"][:, :M],
+        "gt_angle": np.stack([np.zeros((B, M)), np.ones((B, M))],
+                             -1).astype(np.float32),
+        "gt_mask": np.ones((B, M), bool),
+    }
+    tgt["gt_class"][..., 1] = 1.0
+
+    def match_with(dtype):
+        loss = Loss(loss_weights=WEIGHTS, use_assigner=True,
+                    cost_dtype=dtype)
+        i, j = loss.match({k: jnp.array(v) for k, v in out.items()},
+                          {k: jnp.array(v) for k, v in tgt.items()})
+        return np.asarray(i), np.asarray(j)
+
+    (i32, j32), (i16, j16) = match_with(None), match_with("bfloat16")
+    np.testing.assert_array_equal(i32, i16)
+    np.testing.assert_array_equal(j32, j16)
+    # And the config key plumbs through from_config.
+    built = Loss.from_config({"loss_weights": WEIGHTS,
+                              "anassigner": {"name": "HungarianAnassigner"},
+                              "cost_dtype": "bfloat16"})
+    assert built.cost_dtype == jnp.bfloat16
