@@ -146,14 +146,15 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     # BENCH_FLAT=1   -> train.flat_optimizer (AdamW moments in one
     #                   ravelled buffer: ~3x fewer state buffers/ops)
     # BENCH_NO_METRIC=1 -> evaluating=-1 (skip the per-step mAP/mGIoU)
-    # BENCH_HOIST=0  -> train.hoist_matcher=False (matcher embedded in
-    #                   the one fused step program; probe_step_structures)
+    # BENCH_HOIST=1  -> train.hoist_matcher=True (separate matcher program
+    #                   + recompute grad; the default is the embedded-
+    #                   matcher monolith, probe_step_structures.py)
     # BENCH_FWD_ONCE=1 -> train.forward_once + computing.remat (vjp
     #                   forward-once with backbone rematerialization)
     if os.environ.get("BENCH_FLAT", "0") == "1":
         config.setdefault("train", {})["flat_optimizer"] = True
-    if os.environ.get("BENCH_HOIST", "1") == "0":
-        config.setdefault("train", {})["hoist_matcher"] = False
+    if os.environ.get("BENCH_HOIST", "0") == "1":
+        config.setdefault("train", {})["hoist_matcher"] = True
     if os.environ.get("BENCH_FWD_ONCE", "0") == "1":
         config.setdefault("train", {})["forward_once"] = True
         config.setdefault("computing", {})["remat"] = True
@@ -213,15 +214,18 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
             return float(cost.get("flops", 0.0)) if cost else 0.0
 
         jits = train_step.jitted
-        fwd_flops = _flops_of(jits["forward"], state, jbatch, rng)
-        out = jits["forward"](state, jbatch, rng)
-        if isinstance(out, tuple):  # forward_once returns (out, vjp, upd)
-            out = out[0]
-        idx = jits["match"](out, jtargets)
-        match_flops = _flops_of(jits["match"], out, jtargets)
-        step_flops = _flops_of(jits["step"], state, jbatch, jtargets, rng,
-                               idx)
-        flops = fwd_flops + match_flops + step_flops
+        if "match" in jits:  # hoisted structure: three programs
+            fwd_flops = _flops_of(jits["forward"], state, jbatch, rng)
+            out = jits["forward"](state, jbatch, rng)
+            if isinstance(out, tuple):  # forward_once: (out, vjp, upd)
+                out = out[0]
+            idx = jits["match"](out, jtargets)
+            match_flops = _flops_of(jits["match"], out, jtargets)
+            step_flops = _flops_of(jits["step"], state, jbatch, jtargets,
+                                   rng, idx)
+            flops = fwd_flops + match_flops + step_flops
+        else:  # monolith: the step IS the whole program
+            flops = _flops_of(jits["step"], state, jbatch, jtargets, rng)
     except Exception as e:
         import sys
         print(f"flops probe unavailable: {e}", file=sys.stderr)

@@ -71,14 +71,18 @@ class LinearDetectionHead(nn.Module):
     # (reference detection.py:86); the Linear variant uses num_cls_layers.
     cls_layers_from_reg: bool = False
 
-    # DELTA vs reference (opt-in, default off = exact parity): constant
+    # DELTA vs reference (documented DEFAULT since round 4): constant
     # positive init for the size branch's output bias. The size activation
     # is ReLU (reference detection.py:144,273 activations), so a size unit
     # whose pre-activation goes negative for every query receives zero
-    # gradient and is dead permanently; a positive prior starts the
-    # predicted sizes above zero where L1 gradients can steer them. Config
-    # key `size_bias_prior` (float, e.g. 1.0).
-    size_bias_prior: float | None = None
+    # gradient and is dead permanently. Round-4 sweep evidence (STATUS.md
+    # accuracy-proxy section): without the prior the l/w units die at
+    # fixture scale under EVERY schedule tried (lr 3e-3/80ep, 1e-3/200ep,
+    # 3e-4/400ep — all converge centers/class/height but emit 0-volume
+    # boxes, mAP3D floored at 0), while the prior reaches mAP3D > 0.5.
+    # Init-only (adds one 3-unit bias vector); set config
+    # `size_bias_prior: null` for exact reference-init parity.
+    size_bias_prior: float | None = 1.0
 
     @nn.compact
     def __call__(self, batch: jnp.ndarray, ref: Dict[str, jnp.ndarray],
@@ -127,5 +131,7 @@ def build_detection_head(name: str, config: Dict[str, Any]):
         use_bias=config.get("bias", False),
         dropout=config.get("dropout", 0.0),
         dtype=get_compute_dtype(config),
-        size_bias_prior=config.get("size_bias_prior"),
+        # None when the key is explicitly null (exact reference init);
+        # defaults to the class default (1.0) when absent.
+        size_bias_prior=config.get("size_bias_prior", 1.0),
     )

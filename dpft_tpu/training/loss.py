@@ -232,11 +232,15 @@ class Loss:
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Batched Hungarian matching: (B, M) index_i / index_j.
 
-        Exposed separately so the trainer can run the matcher in its OWN
-        jitted program: the JV solver's data-dependent while loops execute
-        ~1000x slower per iteration when embedded in the large fused
-        train-step executable on TPU (measured 550 ms of a 575 ms backward;
-        0.5 ms standalone). See CentralizedTrainer._make_steps.
+        Exposed separately for the trainer's OPT-IN hoisted structure
+        (train.hoist_matcher) and for evaluation tooling. Historical note:
+        hoisting used to be mandatory — pre-warm-start JV while loops ran
+        ~1000x slower per iteration inside the large fused step executable
+        (550 ms of a 575 ms backward) — but the LAPJV row-reduction warm
+        start (ops/hungarian.py) collapsed the loops to ~0 iterations and
+        the embedded-matcher monolith now BEATS the hoisted structure
+        (292.8 vs 379.9 ms at flagship B=4; probe_step_structures.py), so
+        the trainer embeds by default. See CentralizedTrainer._make_steps.
         """
         def per_sample(out_s, tgt_s):
             sg = jax.lax.stop_gradient

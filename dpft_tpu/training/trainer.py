@@ -8,7 +8,8 @@ logging, per-epoch scheduler stepping and per-epoch checkpoints named
 
 TPU-native structure: the whole step (forward, set loss with on-device
 Hungarian matching, backward, optimizer update, metrics) is one jitted XLA
-program. The batch is sharded over the mesh 'data' axis; model state is
+program (the 'monolith'; opt-in hoisted variants exist — see _make_steps).
+The batch is sharded over the mesh 'data' axis; model state is
 replicated; XLA inserts the gradient/BatchNorm all-reduces over ICI, so the
 DP step equals the single-device step on the full batch (verified in
 tests/test_e2e.py::test_dp_equals_single_device on an 8-device CPU mesh).
@@ -98,39 +99,42 @@ class CentralizedTrainer:
         # evaluating == -1 disables the per-step metric computation
         # (reference trainer.py:29-37 semantics).
         metric = None if self.evaluating == -1 else self.metric
-        # Hungarian matching runs in its OWN small jitted program: the JV
-        # solver's data-dependent while loops execute ~1000x slower per
-        # iteration when embedded in the large train-step executable
-        # (measured: 575 ms -> 30 ms backward at flagship shapes by
-        # hoisting the matcher out). Two structures for the rest:
+        # Step structure (A/B'd at flagship B=4 f32, readback-fenced,
+        # scripts/probe_step_structures.py, 2026-08-19):
         #
-        # recompute (default): matcher consumes a dedicated forward; the
-        #   grad program re-runs the forward internally (same dropout rng
-        #   => identical activations). With the round-3 hybrid MSDA core
-        #   the duplicate forward costs ~86 ms of the ~380 ms step at
-        #   flagship B=4 (f32, v5e) — scripts/probe_budget_truth.py.
-        # forward_once (train.forward_once): forward under jax.vjp; the
-        #   pullback (a pytree of residuals) crosses the jit boundary and
-        #   the tail runs ONE model backward. Numerically identical, but
-        #   the residual stash must live in HBM across the matcher program
-        #   - 9.44 GB at flagship B=4 f32 (measured via eval_shape), which
-        #   EXCEEDS a 16 GB v5e's headroom and OOMs. Saving 30 ms of
-        #   recompute is not worth gigabytes of HBM on this hardware, so
-        #   recompute is the default; forward_once remains available (and
-        #   tested) for small models / memory-rich configurations.
-        # train.hoist_matcher=False embeds the matcher INSIDE the grad
-        # program instead (indices=None -> Loss computes the assignment
-        # inline under stop_gradient): one fused step, no duplicate
-        # forward. Viable only since the LAPJV row-reduction warm start
-        # (ops/hungarian.py) collapsed the JV augmenting loops to ~0
-        # iterations — the original hoisting measurement (while-loop
-        # iterations ~1000x slower inside the large executable) predates
-        # it. A/B'd by scripts/probe_step_structures.py.
+        # monolith (default, train.hoist_matcher=False): the whole step —
+        #   forward, Hungarian matching (inline under stop_gradient,
+        #   indices=None path of Loss), backward, update, metric — is ONE
+        #   jitted program: 292.8 +- 3.8 ms vs 379.9 +- 0.8 ms for the
+        #   hoisted-recompute structure. Viable only since the LAPJV
+        #   row-reduction warm start (ops/hungarian.py) collapsed the JV
+        #   augmenting loops to ~0 iterations; the round-2 measurement
+        #   that data-dependent while loops run ~1000x slower inside the
+        #   large executable (575 -> 30 ms by hoisting) predates that
+        #   warm start and no longer binds. Cost: the one-off compile of
+        #   the fused program is long on the remote tunneled compiler
+        #   (~70 min cold; served from the persistent cache thereafter —
+        #   co-located TPU compilers are ~20x faster, see STATUS.md).
+        # hoisted (train.hoist_matcher=true): matcher in its own small
+        #   program between a dedicated forward and the grad program,
+        #   which re-runs the forward internally (same dropout rng =>
+        #   identical activations; the duplicate forward costs ~86 ms
+        #   with the hybrid MSDA core). Keeps per-program compiles short
+        #   — the right trade during config iteration.
+        # forward_once (train.forward_once, implies hoisted): forward
+        #   under jax.vjp; the pullback residuals cross the jit boundary
+        #   so nothing recomputes. The stash is 16.5 GB at flagship B=4
+        #   f32 (6.4 GB under computing.remat) and OOMs a 16 GB v5e at
+        #   flagship shapes; available for small models / big-HBM parts.
         split_matching = (loss_fn is not None and loss_fn.use_assigner
                           and bool(self.config.get("train", {}).get(
-                              "hoist_matcher", True)))
+                              "hoist_matcher", False)))
         forward_once = bool(self.config.get("train", {}).get(
             "forward_once", False))
+        if forward_once and not split_matching:
+            # forward_once structurally requires the hoisted layout (the
+            # pullback must cross the matcher boundary).
+            split_matching = loss_fn is not None and loss_fn.use_assigner
 
         def state_variables(state):
             variables = {"params": state["params"]}

@@ -87,9 +87,12 @@ def tiny_config():
                       "n_points": [N_POINTS] * 3, "norm": True,
                       "dropout": 0.0, "reduction": "linear",
                       "activation": "Mish"},
+            # size_bias_prior null: this test transliterates the EXACT
+            # reference head (bias-free branches), so disable the round-4
+            # default size-bias prior delta.
             "head": {"name": "linear_detection_head", "in_channels": D_MODEL,
                      "num_classes": 2, "num_reg_layers": 2,
-                     "num_cls_layers": 2},
+                     "num_cls_layers": 2, "size_bias_prior": None},
         },
     }
 

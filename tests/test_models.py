@@ -127,15 +127,24 @@ def test_detection_head_residual_center():
 
 
 def test_detection_head_size_bias_prior():
-    """Opt-in delta: size output bias inits to the positive prior; the
-    default head stays bias-free (exact parity)."""
+    """Documented default delta (round 4): the size output bias inits to
+    a positive prior (1.0) so the ReLU l/w units start alive;
+    size_bias_prior=None restores the exact bias-free reference init
+    (config `size_bias_prior: null`)."""
     x = jnp.zeros((1, 5, 8))
     ref = {"center": jnp.zeros((1, 5, 3))}
 
     default = LinearDetectionHead(in_channels=8, num_classes=2,
                                   num_reg_layers=2, num_cls_layers=2)
     vars_default = default.init(jax.random.PRNGKey(0), x, ref)
-    assert "bias" not in vars_default["params"]["size_head"]["out"]
+    np.testing.assert_allclose(
+        np.asarray(vars_default["params"]["size_head"]["out"]["bias"]), 1.0)
+
+    parity = LinearDetectionHead(in_channels=8, num_classes=2,
+                                 num_reg_layers=2, num_cls_layers=2,
+                                 size_bias_prior=None)
+    vars_parity = parity.init(jax.random.PRNGKey(0), x, ref)
+    assert "bias" not in vars_parity["params"]["size_head"]["out"]
 
     prior = LinearDetectionHead(in_channels=8, num_classes=2,
                                 num_reg_layers=2, num_cls_layers=2,

@@ -7,21 +7,24 @@ that the matched queries actually CONVERGE to their assigned ground
 truth: centers within meters of targets ~20-47 m away (a sign or
 indexing error anywhere in matcher/loss/projection would keep them near
 the reference points), the foreground class wins on matched queries, the
-angle sin/cos converge, and the height dimension grows toward its
-target.
+angle sin/cos converge — and that the resulting boxes have REAL 3D
+overlap (mAP3D > 0.5 at IoU 0.5), the strongest offline proxy for the
+published 56.1 AP3D target available without the K-Radar dataset.
 
-Overlap metrics: the detection head's size branch is ReLU-activated
-(reference detection.py activations), and at tiny-fixture scale the l/w
-size units routinely die (pre-activation dragged negative by early trunk
-updates), flooring mAP3D/mGIoU3D regardless of everything else having
-converged. The head's opt-in `size_bias_prior` delta (positive constant
-init for the size output bias, models/heads/detection.py) keeps the units
-alive; this test enables it and asserts the overfit produces REAL 3D
-overlap — nonzero mAP3D and mGIoU3D above the -1 floor — which is the
-strongest offline proxy for the published 56.1 AP3D target available
-without the K-Radar dataset. The metric path itself is additionally
-pinned against transliterations in test_evaluation_metric /
-test_metric_parity.
+The 3D-overlap assertion relies on the head's size_bias_prior, the
+documented DEFAULT since round 4 (models/heads/detection.py): the
+reference head's ReLU size activation lets l/w units die permanently at
+tiny-fixture scale. Round-4 sweep evidence (/tmp-reproducible via this
+file's helper): WITHOUT the prior, lr 3e-3/80ep, 1e-3/200ep, and
+3e-4/400ep all converge centers (<6 m), class, and height, but the l/w
+units emit exactly 0 for every query (dead ReLU), flooring mAP3D at 0 —
+the schedule cannot rescue them, so the prior is promoted to default
+rather than tuned around.
+
+Two variants run: single-class (two Sedans) and TWO-CLASS (Sedan +
+"Bus or Truck", num_classes=3), the latter exercising the metric's
+per-class selection logic (reference metric.py:143-151) end-to-end under
+training — measured two-class overfit reaches mAP 1.0 / mGIoU 0.88.
 """
 
 import glob
@@ -39,8 +42,8 @@ pytestmark = pytest.mark.slow
 EPOCHS = int(os.environ.get("OVERFIT_EPOCHS", 80))
 
 
-def _enlarge_boxes(src: str) -> None:
-    """Rewrites every fixture label with two LARGE in-FoV Sedans (the
+def _write_boxes(src: str, two_class: bool) -> None:
+    """Rewrites every fixture label with two LARGE in-FoV boxes (the
     processor doubles l/w/h, so 3x2x1 here is a 6x4x2 m box)."""
     for path in glob.glob(osp.join(src, SEQ, "info_label_v2", "*.txt")):
         with open(path) as f:
@@ -48,10 +51,15 @@ def _enlarge_boxes(src: str) -> None:
         with open(path, "w") as f:
             f.write(header)
             f.write("*, 0, Sedan, 20.0, 1.0, 0.5, 0.0, 3.0, 2.0, 1.0\n")
-            f.write("*, 1, Sedan, 45.0, -2.0, 0.2, 5.0, 3.0, 2.0, 1.0\n")
+            if two_class:
+                f.write("*, 1, Bus or Truck, 45.0, -2.0, 0.2, 5.0, "
+                        "4.0, 2.5, 1.5\n")
+            else:
+                f.write("*, 1, Sedan, 45.0, -2.0, 0.2, 5.0, 3.0, 2.0, "
+                        "1.0\n")
 
 
-def test_overfit_matched_queries_converge(tmp_path):
+def _overfit(tmp_path, two_class: bool):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +74,7 @@ def test_overfit_matched_queries_converge(tmp_path):
 
     root = str(tmp_path)
     src = make_raw_kradar(root)
-    _enlarge_boxes(src)
+    _write_boxes(src, two_class)
     processed = osp.join(root, "processed")
 
     config = small_model_config(base_config())
@@ -75,10 +83,9 @@ def test_overfit_matched_queries_converge(tmp_path):
     config["train"]["loss_weights"] = {
         "total_class": 2.0, "object_class": 1.0,
         "center": 1.0, "size": 1.0, "angle": 1.0}
-    # Positive size-bias prior (documented delta, see module docstring):
-    # keeps the ReLU size units alive so the overfit can be asserted all
-    # the way to 3D overlap.
-    config["model"]["head"]["size_bias_prior"] = 1.0
+    if two_class:
+        config["data"]["num_classes"] = 3
+        config["model"]["head"]["num_classes"] = 3
     # Skip the per-step metric (reference `evaluating` knob): metrics are
     # checked once below, and dropping them keeps the overfit affordable.
     config["train"]["evaluating"] = -1
@@ -98,7 +105,6 @@ def test_overfit_matched_queries_converge(tmp_path):
     assert all(np.isfinite(history)), history
     assert history[-1] < 0.5 * history[0], (history[0], history[-1])
 
-    # ---- Matched-query convergence on the training batch.
     state = out["state"]
     batch, targets = next(iter(load_dataset(train_ds, config=config,
                                             shuffle=False)))
@@ -112,12 +118,13 @@ def test_overfit_matched_queries_converge(tmp_path):
     loss_fn = build_loss(config["train"])
     qi, gj = (np.asarray(a) for a in loss_fn.match(pred, jt))
 
+    # ---- Matched-query convergence on the training batch.
     center = np.asarray(pred["center"])
     angle = np.asarray(pred["angle"])
     size = np.asarray(pred["size"])
     cls = np.asarray(pred["class"])
-    B = center.shape[0]
-    for b in range(B):
+    seen_classes = set()
+    for b in range(center.shape[0]):
         real = np.asarray(targets["gt_mask"][b])
         n_real = int(real.sum())
         gt_c = np.asarray(targets["gt_center"][b])
@@ -128,21 +135,33 @@ def test_overfit_matched_queries_converge(tmp_path):
             # Center converged to its assigned GT, 20-47 m from origin.
             err = np.linalg.norm(center[b, q] - gt_c[g])
             assert err < 2.0, (b, k, center[b, q], gt_c[g])
-            # Foreground class wins on the matched query.
+            # The right foreground class wins on the matched query.
             assert cls[b, q].argmax() == gt_cls[g].argmax(), cls[b, q]
+            seen_classes.add(int(gt_cls[g].argmax()))
             # sin/cos angle encoding converged.
             assert np.abs(angle[b, q] - gt_a[g]).max() < 0.3
-            # The (consistently surviving) height dimension grew toward
-            # its 2 m target.
+            # Height grew toward its ~2 m target.
             assert size[b, q, 2] > 1.0, size[b, q]
+    if two_class:
+        assert seen_classes == {1, 2}, seen_classes
 
-    # ---- 3D-overlap evidence: with the size prior the overfit model's
-    # boxes genuinely overlap their GT. mAP3D counts a TP only above
-    # IoU3D > 0.5 (metric.py), so a nonzero value certifies real
-    # center+size+angle box quality, not just per-component convergence.
+    # ---- 3D-overlap evidence under the DEFAULT head config: mAP3D
+    # counts a TP only above IoU3D > 0.5 (metric.py), so a nonzero value
+    # certifies real center+size+angle box quality, not just
+    # per-component convergence.
     metric = build_metric(config.get("evaluate", {}))
     m = {k: float(v) for k, v in metric(pred, jt).items()}
     for k, v in m.items():
         assert np.isfinite(v), (k, v)
     assert m["mAP"] > 0.5, m
     assert m["mGIoU"] > 0.0, m
+
+
+def test_overfit_matched_queries_converge(tmp_path):
+    _overfit(tmp_path, two_class=False)
+
+
+def test_overfit_two_class_metrics(tmp_path):
+    """Class selection in mAP3D (reference metric.py:143-151) exercised
+    end-to-end under training: Sedan + Bus-or-Truck, num_classes=3."""
+    _overfit(tmp_path, two_class=True)
