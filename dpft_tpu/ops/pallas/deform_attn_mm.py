@@ -78,7 +78,9 @@ def _fwd_kernel(val_ref, x_ref, y_ref, att_ref, out_ref, *, h, w, D, st):
     wD = w * D
     f32 = jnp.float32
 
-    grid_h = jax.lax.broadcasted_iota(f32, (st, h), 1)
+    # NB: iota must be integer-typed — Mosaic's tpu.iota rejects float
+    # results ('result #0 must be vec<int>', measured on the v5e).
+    grid_h = jax.lax.broadcasted_iota(jnp.int32, (st, h), 1).astype(f32)
     ay = _relu_dist(y.astype(f32), grid_h)                  # (S, h)
     tmp = jnp.dot(ay.astype(val.dtype), val,
                   preferred_element_type=f32)               # (S, wD)
@@ -106,7 +108,7 @@ def _bwd_kernel(val_ref, x_ref, y_ref, att_ref, g_ref,
     wD = w * D
     f32 = jnp.float32
 
-    grid_h = jax.lax.broadcasted_iota(f32, (st, h), 1)
+    grid_h = jax.lax.broadcasted_iota(jnp.int32, (st, h), 1).astype(f32)
     dist_y = y - grid_h
     ay = jnp.maximum(1.0 - jnp.abs(dist_y), 0.0)            # (S, h)
     tmp = jnp.dot(ay.astype(val.dtype), val,

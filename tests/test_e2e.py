@@ -134,7 +134,9 @@ def test_dp_equals_single_device(pipeline):
     """A DP-sharded step over 2 virtual devices == single-device step.
 
     Runs in forward_once (jax.vjp) mode, giving the vjp trainer structure
-    e2e coverage; the pipeline test above covers the recompute default."""
+    e2e coverage; the pipeline test above covers the embedded-matcher
+    monolith default, and test_monolith_equals_hoisted pins the two
+    structures against each other."""
     root, processed, config = pipeline
     config = {**config, "train": dict(config["train"], forward_once=True)}
     from dpft_tpu.parallel import create_mesh
@@ -180,4 +182,54 @@ def test_dp_equals_single_device(pipeline):
     flat_s = jax.tree_util.tree_leaves(results["single"][1])
     flat_d = jax.tree_util.tree_leaves(results["dp2"][1])
     for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_monolith_equals_hoisted(pipeline):
+    """The embedded-matcher monolith (default) == the hoisted three-program
+    structure on identical inputs: same loss, same updated params.
+
+    The monolith runs the Hungarian matcher (under stop_gradient) INSIDE
+    the fused grad program; the hoisted layout solves it in a separate
+    program and feeds indices in. Identical math — any divergence beyond
+    fusion-reordering noise means the embedded matcher changed the
+    assignments or leaked gradients."""
+    root, processed, config = pipeline
+    from dpft_tpu.parallel import create_mesh
+    from dpft_tpu.training.trainer import CentralizedTrainer, _to_jnp
+
+    train_ds = init_dataset("kradar", src=processed, split="train",
+                            config=config)
+    loader = load_dataset(train_ds, config=config, shuffle=False)
+    batch, targets = next(iter(loader))
+
+    model = build_model("dprt", config)
+    variables = model.init(jax.random.PRNGKey(0), _to_jnp(batch),
+                           train=False)
+    mesh = create_mesh(data=1)
+
+    results = {}
+    for name, hoist in [("monolith", False), ("hoisted", True)]:
+        cfg = {**config, "train": dict(config["train"],
+                                       hoist_matcher=hoist)}
+        trainer = CentralizedTrainer.from_config(cfg)
+        tx = trainer.optimizer_factory(1e-3)
+        fresh = jax.tree_util.tree_map(jax.numpy.copy, variables)
+        state = {
+            "params": fresh["params"],
+            "batch_stats": fresh["batch_stats"],
+            "opt_state": tx.init(fresh["params"]),
+            "step": 0,
+        }
+        train_step, _ = trainer._make_steps(model, tx, mesh)
+        state, total, losses, _ = train_step(
+            state, _to_jnp(batch), _to_jnp(targets), jax.random.PRNGKey(1))
+        results[name] = (float(total),
+                         jax.tree_util.tree_map(np.asarray, state["params"]))
+
+    assert abs(results["monolith"][0] - results["hoisted"][0]) < 1e-4, \
+        (results["monolith"][0], results["hoisted"][0])
+    flat_m = jax.tree_util.tree_leaves(results["monolith"][1])
+    flat_h = jax.tree_util.tree_leaves(results["hoisted"][1])
+    for a, b in zip(flat_m, flat_h):
         np.testing.assert_allclose(a, b, atol=5e-3)
