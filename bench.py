@@ -126,6 +126,13 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
         except Exception as e:
             import sys
             print(f"flops probe unavailable: {e}", file=sys.stderr)
+    try:  # HBM high-water mark for the B-scaling frontier
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("peak_bytes_in_use"):
+            result["peak_hbm_gb"] = round(
+                int(stats["peak_bytes_in_use"]) / 2 ** 30, 3)
+    except Exception:
+        pass
     return result
 
 

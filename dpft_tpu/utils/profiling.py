@@ -10,6 +10,7 @@ DeepSpeed flops profiler + CUDA-event latency benchmarks):
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Any, Callable, Dict, Tuple
 
@@ -138,10 +139,20 @@ def benchmark_pipelined(fn: Callable, argsets, repetitions: int = 60,
     return (time.perf_counter() - t0) / repetitions * 1e3
 
 
-def enable_persistent_compilation_cache(
-        path: str = "/tmp/dpft_tpu_jax_cache") -> None:
+def enable_persistent_compilation_cache(path: str | None = None) -> None:
     """Enables JAX's on-disk compilation cache (big win for the matcher's
-    loop-nest compiles, ~10 min cold on the remote TPU compiler)."""
+    loop-nest compiles, ~10 min cold on the remote TPU compiler; the
+    embedded-matcher monolith step is ~70 min cold).
+
+    Default location is REPO-LOCAL (`<repo>/.jax_cache`, gitignored), not
+    /tmp: /tmp is wiped across container restarts, which silently re-costs
+    every multi-minute remote compile. Override with $DPFT_JAX_CACHE_DIR.
+    """
+    if path is None:
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        path = os.environ.get("DPFT_JAX_CACHE_DIR",
+                              os.path.join(repo_root, ".jax_cache"))
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

@@ -9,6 +9,13 @@ one cell (itself a frontier datapoint) cannot poison the next.
 Usage:
     python scripts/bench_scaling.py out.jsonl inference 4:f32 8:f32 ...
     python scripts/bench_scaling.py out.jsonl train 4:bf16 8:bf16 ...
+    python scripts/bench_scaling.py out.jsonl train 8:bf16:hoist ...
+
+An optional third cell field selects the train step structure:
+`hoist` sets BENCH_HOIST=1 (three-program hoisted layout, minutes to
+compile) — the right structure for FRONTIER cells where the default
+embedded-matcher monolith's ~70 min/cell cold remote compile would blow
+the budget; the monolith headline cell(s) omit it.
 
 A cell that dies (e.g. RESOURCE_EXHAUSTED at large B) is recorded as
 {"mode":..., "batch":..., "dtype":..., "error": "..."} — the HBM wall is
@@ -23,11 +30,15 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cell(out_path, mode, batch, dtype):
+def run_cell(out_path, mode, batch, dtype, variant=""):
     env = dict(os.environ)
     env["BENCH_MODE"] = mode
     env["BENCH_BATCH"] = str(batch)
     env["BENCH_DTYPE"] = "" if dtype == "f32" else "bfloat16"
+    if variant == "hoist":
+        env["BENCH_HOIST"] = "1"
+    elif variant:
+        raise SystemExit(f"unknown cell variant {variant!r}")
     # Train compiles are slow on the remote compiler; keep reps modest so
     # a full matrix fits a session. FLOPs probes re-use the same lowered
     # program (cached), cheap enough to keep on.
@@ -40,6 +51,8 @@ def run_cell(out_path, mode, batch, dtype):
     wall = time.time() - t0
     row = {"mode": mode, "batch": batch, "dtype": dtype,
            "wall_sec": round(wall, 1)}
+    if variant:
+        row["variant"] = variant
     last = (proc.stdout.strip().splitlines() or [""])[-1]
     try:
         row.update(json.loads(last))
@@ -54,8 +67,8 @@ def run_cell(out_path, mode, batch, dtype):
 def main():
     out_path, mode = sys.argv[1], sys.argv[2]
     for cell in sys.argv[3:]:
-        b, dt = cell.split(":")
-        run_cell(out_path, mode, int(b), dt)
+        b, dt, *rest = cell.split(":")
+        run_cell(out_path, mode, int(b), dt, *rest)
     print("scaling sweep done", flush=True)
 
 
