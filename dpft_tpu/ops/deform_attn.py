@@ -35,7 +35,17 @@ import jax.numpy as jnp
 #               kernel (ops/pallas/deform_attn_mm.py: Ay/Ax construction,
 #               both einsums, and the attention multiply in VMEM, custom
 #               fused backward) — Mosaic-lowerable because the matmul
-#               form has no gathers. A/B'd by scripts/probe_msda_fused.py.
+#               form has no gathers. MEASURED AND REJECTED on the v5e
+#               (scripts/probe_msda_fused.py, 2026-08-20): loses to the
+#               XLA hybrid at every flagship view/dtype — fwd ~1.1-1.7x
+#               slower, fwd+bwd 2-3x slower (e.g. camera bf16 13.8 vs
+#               15.1 ms; radar views ~1.7-2.2 vs ~4-5.5 ms). XLA already
+#               fuses the einsum chain well; the Pallas backward's d_val
+#               output-revisiting accumulation serializes the S-tile
+#               grid axis and recomputes ay/tmp/axk per tile. Forcing
+#               the huge camera level through the kernel ('mmall')
+#               crashes the remote compiler (tpu_compile_helper exit 1).
+#               Kept behind this switch with parity tests; not prod.
 #   'pallas'    the round-2 gather-based fused kernel (ops/pallas/
 #               deform_attn.py); interpreter-only, rejected on real TPU
 #               (Mosaic gather limits), kept for the record.
