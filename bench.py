@@ -11,7 +11,8 @@ paper (arXiv:2404.03015) reports about 90 ms/frame on the authors' CUDA
 GPU setup, which we adopt as the baseline estimate and label as such in
 the output. The rebuild target is >= 3x that throughput.
 
-Env vars: BENCH_BATCH (default 4), BENCH_DTYPE (e.g. 'bfloat16'),
+Env vars: BENCH_BATCH (default 4), BENCH_DTYPE (default 'bfloat16';
+'float32' or '' selects full f32),
 BENCH_REPS, BENCH_WARMUP, BENCH_MODE ('inference' | 'train' | 'prepare'),
 BENCH_FLOPS (cost-analysis probes; default on for inference, opt-in for
 train). Train mode reports the full train-step time (forward + Hungarian
@@ -425,7 +426,12 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", "4"))
     repetitions = int(os.environ.get("BENCH_REPS", "100"))
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
-    compute_dtype = os.environ.get("BENCH_DTYPE", "")  # e.g. 'bfloat16'
+    # Deployment default is bf16 compute (the round-4 B-scaling study's
+    # best per-frame cell; params/softmax/LN/heads stay f32 per the mixed-
+    # precision pins). BENCH_DTYPE=float32 restores the full-f32 path.
+    compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    if compute_dtype == "float32":
+        compute_dtype = ""
     mode = os.environ.get("BENCH_MODE", "inference")
 
     if mode == "train":
