@@ -83,7 +83,15 @@ class CentralizedTrainer:
             scheduler=scheduler,
             metric=metric,
             logging=train_cfg.get("logging"),
-            evaluating=train_cfg.get("evaluating", 1),
+            # Default is AUTO: with logging=None the reference computes the
+            # per-step mAP/mGIoU and then discards it (reference
+            # trainer.py:136,186 run unconditionally but the values are only
+            # observable through the step/epoch writers) — dead work a fused
+            # XLA step would DCE anyway, so we skip building it. Any logging
+            # mode keeps the metric (reference consumes it); explicit
+            # `train.evaluating: 1 | -1` overrides in either direction.
+            evaluating=train_cfg.get(
+                "evaluating", 1 if train_cfg.get("logging") else -1),
             config=config,
         )
 

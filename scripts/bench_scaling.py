@@ -15,7 +15,9 @@ An optional third cell field selects the train step structure:
 `hoist` sets BENCH_HOIST=1 (three-program hoisted layout, minutes to
 compile) — the right structure for FRONTIER cells where the default
 embedded-matcher monolith's ~70 min/cell cold remote compile would blow
-the budget; the monolith headline cell(s) omit it.
+the budget; the monolith headline cell(s) omit it. `nometric` sets
+BENCH_NO_METRIC=1 (the logging=null step: the per-step mAP/mGIoU the
+reference computes-and-discards is skipped).
 
 A cell that dies (e.g. RESOURCE_EXHAUSTED at large B) is recorded as
 {"mode":..., "batch":..., "dtype":..., "error": "..."} — the HBM wall is
@@ -37,6 +39,12 @@ def run_cell(out_path, mode, batch, dtype, variant=""):
     env["BENCH_DTYPE"] = "" if dtype == "f32" else "bfloat16"
     if variant == "hoist":
         env["BENCH_HOIST"] = "1"
+    elif variant == "nometric":
+        # logging=None semantics: the reference computes the per-step
+        # mAP/mGIoU and discards it when no writer consumes it, so the
+        # metric-free step is the honest deployment cell for unlogged
+        # training (trainer.from_config auto-selects it for logging=null).
+        env["BENCH_NO_METRIC"] = "1"
     elif variant:
         raise SystemExit(f"unknown cell variant {variant!r}")
     # Train compiles are slow on the remote compiler; keep reps modest so

@@ -111,3 +111,24 @@ def test_config_roundtrip(tmp_path):
     save_config(cfg, path)
     assert load_config(path) == cfg
     assert loads_config('{"x": 2}') == {"x": 2}
+
+
+def test_trainer_evaluating_auto_default():
+    """With train.logging=None the reference computes the per-step
+    mAP/mGIoU and discards it (reference trainer.py:136,186: computed
+    unconditionally, observable only through the step/epoch writers), so
+    the trainer defaults to skipping it; any logging mode keeps it, and an
+    explicit train.evaluating overrides both ways."""
+    from kradar_fixture import base_config
+    from dpft_tpu.training.trainer import CentralizedTrainer
+
+    cfg = base_config()
+    cfg["train"]["logging"] = None
+    assert CentralizedTrainer.from_config(cfg).evaluating == -1
+
+    cfg["train"]["logging"] = "epoch"
+    assert CentralizedTrainer.from_config(cfg).evaluating == 1
+
+    cfg["train"]["logging"] = None
+    cfg["train"]["evaluating"] = 1
+    assert CentralizedTrainer.from_config(cfg).evaluating == 1
