@@ -125,7 +125,11 @@ def init_on_host(init_fn, *args, **kwargs):
     """
     try:
         cpu = jax.local_devices(backend="cpu")[0]
-        default = jax.devices()[0]
+        # Process-LOCAL default device: jax.devices()[0] is the GLOBAL
+        # list's head, which in a multi-process run belongs to process 0
+        # and is non-addressable elsewhere (device_put would raise
+        # INVALID_ARGUMENT on every other process).
+        default = jax.local_devices()[0]
     except Exception:
         return init_fn(*args, **kwargs)
     if cpu == default:
