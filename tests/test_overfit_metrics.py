@@ -24,7 +24,9 @@ rather than tuned around.
 Two variants run: single-class (two Sedans) and TWO-CLASS (Sedan +
 "Bus or Truck", num_classes=3), the latter exercising the metric's
 per-class selection logic (reference metric.py:143-151) end-to-end under
-training — measured two-class overfit reaches mAP 1.0 / mGIoU 0.88.
+training — measured two-class overfit reaches mAP 1.0 with on-class
+GIoU ~0.77 (reported mGIoU -0.11: the reference's off-class -1 columns
+cap two-class mGIoU at <= 0 by construction, see the in-test note).
 """
 
 import glob
@@ -86,6 +88,12 @@ def _overfit(tmp_path, two_class: bool):
     if two_class:
         config["data"]["num_classes"] = 3
         config["model"]["head"]["num_classes"] = 3
+        # The fixture's category map, like the reference single-class
+        # config, maps every non-Sedan category to -1 — which the
+        # processor DROPS at ETL (reference category -1 quirk). Without
+        # this override the Bus boxes never reach training and the
+        # class-2 assertions below are unsatisfiable.
+        config["data"]["categories"]["Bus or Truck"] = 1
     # Skip the per-step metric (reference `evaluating` knob): metrics are
     # checked once below, and dropping them keeps the overfit affordable.
     config["train"]["evaluating"] = -1
@@ -154,7 +162,16 @@ def _overfit(tmp_path, two_class: bool):
     for k, v in m.items():
         assert np.isfinite(v), (k, v)
     assert m["mAP"] > 0.5, m
-    assert m["mGIoU"] > 0.0, m
+    if two_class:
+        # Reference quirk (metric.py off-class columns): each class's
+        # GIoU mean runs over ALL real target columns with off-class
+        # ones pinned to -1, so with one on-class target out of two the
+        # per-class ceiling is (g - 1) / 2 <= 0 even at perfect overlap.
+        # mGIoU > -0.2 therefore certifies on-class GIoU g > 0.6
+        # (measured: -0.114 => g ~ 0.77 alongside mAP 1.0).
+        assert m["mGIoU"] > -0.2, m
+    else:
+        assert m["mGIoU"] > 0.0, m
 
 
 def test_overfit_matched_queries_converge(tmp_path):
