@@ -30,10 +30,14 @@ class CentralizedEvaluator:
     def __init__(self,
                  metric: Optional[Metric] = None,
                  exporter=None,
-                 logging: Optional[str] = None):
+                 logging: Optional[str] = None,
+                 config: Optional[Dict[str, Any]] = None):
         self.eval_fn = metric
         self.export_fn = exporter
         self.logging = logging
+        # Fallback model config for checkpoints without an embedded
+        # snapshot (e.g. a bare reference .pt file): the CLI's --cfg.
+        self.config = config
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "CentralizedEvaluator":
@@ -43,7 +47,8 @@ class CentralizedEvaluator:
             exporter = build_exporter(
                 config["evaluate"]["exporter"]["name"], config)
         return cls(metric=metric, exporter=exporter,
-                   logging=config.get("train", {}).get("logging"))
+                   logging=config.get("train", {}).get("logging"),
+                   config=config)
 
     def __call__(self, *args, **kwargs):
         return self.evaluate(*args, **kwargs)
@@ -163,7 +168,8 @@ class CentralizedEvaluator:
 
     def evaluate(self, checkpoint: str, data_loader: Iterable,
                  dst: Optional[str] = None) -> Dict[str, float]:
-        model, variables, epoch, timestamp = model_registry.load(checkpoint)
+        model, variables, epoch, timestamp = model_registry.load(
+            checkpoint, config=self.config)
         # Checkpoints written with train.save_optimizer carry trainer state
         # beside the model collections; model.apply must not see it.
         variables = model_registry.model_collections(variables)

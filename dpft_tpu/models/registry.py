@@ -104,10 +104,16 @@ def checkpoint_config(path: str,
     from dpft_tpu.utils.config import load_config
 
     path = osp.abspath(path)
-    candidates = (
-        osp.join(path, "config.json"),
-        osp.join(osp.dirname(osp.dirname(path)), "config.json"),
-    )
+    if osp.isfile(path):
+        # File checkpoint (reference torch .pt): the config snapshot sits
+        # next to it in the run directory (reference train.py:53 writes
+        # <dst>/<ts>/config.json beside the per-epoch checkpoints).
+        candidates = (osp.join(osp.dirname(path), "config.json"),)
+    else:
+        candidates = (
+            osp.join(path, "config.json"),
+            osp.join(osp.dirname(osp.dirname(path)), "config.json"),
+        )
     for candidate in candidates:
         if osp.isfile(candidate):
             return load_config(candidate)
@@ -125,14 +131,25 @@ def load(path: str, config: Dict[str, Any] = None
 
     ``config`` is a fallback used only when neither the checkpoint nor
     its run directory carries a config snapshot (checkpoint_config).
-    """
-    import orbax.checkpoint as ocp
 
+    Two formats dispatch on the path: an Orbax checkpoint DIRECTORY (this
+    framework's native format), or a reference torch ``.pt``/``.pth`` FILE
+    (full-model pickle or state_dict) imported via
+    ``models/torch_checkpoint.py`` - so the published reference checkpoints
+    (reference README.md:23-24) evaluate on TPU directly. Both use the
+    ``{timestamp}_checkpoint_{epoch:04d}`` name contract.
+    """
     path = osp.abspath(path)
     epoch, timestamp = parse_checkpoint_name(path)
     config = checkpoint_config(path, fallback=config)
     module = build(config["model"]["name"], config)
 
+    if osp.isfile(path) and path.endswith((".pt", ".pth", ".npz")):
+        from dpft_tpu.models import torch_checkpoint
+        variables = torch_checkpoint.import_checkpoint(path, config)
+        return module, variables, epoch, timestamp
+
+    import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore(path)
     return module, variables, epoch, timestamp
