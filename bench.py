@@ -115,15 +115,22 @@ def bench_inference(batch_size, repetitions, warmup, compute_dtype):
     # BENCH_FLOPS=0 skips the extra trace.
     if os.environ.get("BENCH_FLOPS", "1") == "1":
         try:
-            from dpft_tpu.utils.profiling import cost_analysis
-            cost = cost_analysis(lambda v, b: model.apply(v, b, train=False),
-                                 variables, batch)
+            from dpft_tpu.utils.profiling import memory_analysis
+            compiled = jax.jit(
+                lambda v, b: model.apply(v, b, train=False)).lower(
+                variables, batch).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0] if cost else {}
+            flops = float((cost or {}).get("flops", 0.0))
             batch_sec = ms_per_batch / 1e3
-            result["forward_flops"] = cost["flops"]
-            result["achieved_tflops"] = round(
-                cost["flops"] / batch_sec / 1e12, 3)
+            result["forward_flops"] = flops
+            result["achieved_tflops"] = round(flops / batch_sec / 1e12, 3)
             result["mfu_vs_bf16_peak"] = round(
-                cost["flops"] / batch_sec / PEAK_FLOPS_BF16, 5)
+                flops / batch_sec / PEAK_FLOPS_BF16, 5)
+            mem = memory_analysis(compiled)
+            result["hbm_static_gb"] = mem.get("total_gb")
+            result["hbm_static"] = mem or None
         except Exception as e:
             import sys
             print(f"flops probe unavailable: {e}", file=sys.stderr)
@@ -211,29 +218,38 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
     # because even re-tracing the grad program takes ~a minute at
     # flagship shapes on this host.
     flops = 0.0
+    hbm_static = {}
     try:
         if os.environ.get("BENCH_FLOPS", "0") != "1":
             raise RuntimeError("skipped (set BENCH_FLOPS=1 to measure)")
 
-        def _flops_of(jitted, *args):
-            cost = jitted.lower(*args).compile().cost_analysis()
+        from dpft_tpu.utils.profiling import memory_analysis
+
+        def _probe(jitted, *args):
+            compiled = jitted.lower(*args).compile()
+            cost = compiled.cost_analysis()
             if isinstance(cost, list):
                 cost = cost[0] if cost else {}
-            return float(cost.get("flops", 0.0)) if cost else 0.0
+            return (float(cost.get("flops", 0.0)) if cost else 0.0,
+                    memory_analysis(compiled))
 
         jits = train_step.jitted
         if "match" in jits:  # hoisted structure: three programs
-            fwd_flops = _flops_of(jits["forward"], state, jbatch, rng)
+            fwd_flops, fwd_mem = _probe(jits["forward"], state, jbatch, rng)
             out = jits["forward"](state, jbatch, rng)
             if isinstance(out, tuple):  # forward_once: (out, vjp, upd)
                 out = out[0]
             idx = jits["match"](out, jtargets)
-            match_flops = _flops_of(jits["match"], out, jtargets)
-            step_flops = _flops_of(jits["step"], state, jbatch, jtargets,
-                                   rng, idx)
+            match_flops, _ = _probe(jits["match"], out, jtargets)
+            step_flops, step_mem = _probe(jits["step"], state, jbatch,
+                                          jtargets, rng, idx)
             flops = fwd_flops + match_flops + step_flops
+            # Programs run sequentially; the live-at-once peak is the max.
+            hbm_static = max((fwd_mem, step_mem),
+                             key=lambda m: m.get("total_gb", 0.0))
         else:  # monolith: the step IS the whole program
-            flops = _flops_of(jits["step"], state, jbatch, jtargets, rng)
+            flops, hbm_static = _probe(jits["step"], state, jbatch,
+                                       jtargets, rng)
     except Exception as e:
         import sys
         print(f"flops probe unavailable: {e}", file=sys.stderr)
@@ -271,6 +287,11 @@ def bench_train(batch_size, repetitions, warmup, compute_dtype):
         "mfu_vs_bf16_peak": round(achieved / PEAK_FLOPS_BF16, 5),
         "peak_hbm_gb": (round(peak_bytes / 2 ** 30, 3)
                         if peak_bytes else None),
+        # Compiler's static buffer accounting (utils/profiling.py:
+        # memory_analysis) — the tunneled runtime exposes no allocator
+        # counters, so this is the recorded memory column.
+        "hbm_static_gb": hbm_static.get("total_gb"),
+        "hbm_static": hbm_static or None,
         "flops_source": "xla_cost_analysis (static HLO estimate; "
                         "upper bound, not a hardware counter)",
     }

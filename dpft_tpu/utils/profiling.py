@@ -31,6 +31,49 @@ def cost_analysis(fn: Callable, *args, **kwargs) -> Dict[str, float]:
     }
 
 
+def memory_analysis(compiled) -> Dict[str, float]:
+    """Static HBM accounting of a compiled executable, in GiB.
+
+    The tunneled PJRT runtime exposes no ``memory_stats()`` allocator
+    counters, so the runtime high-water mark is unobservable here; the
+    compiler's static estimate (argument + output + temp + generated-code
+    buffers) is the honest substitute and is what XLA itself allocates
+    against. ``total_gb`` is their sum, an upper bound on the program's
+    live-at-once footprint (arguments may alias/donate).
+    """
+    mem = compiled.memory_analysis()
+    if mem is None:
+        return {}
+    gib = 2.0 ** 30
+
+    def _get(*names):
+        for n in names:
+            v = getattr(mem, n, None)
+            if v is not None:
+                return float(v)
+        return 0.0
+
+    arg = _get("argument_size_in_bytes")
+    out = _get("output_size_in_bytes")
+    alias = _get("alias_size_in_bytes")
+    temp = _get("temp_size_in_bytes")
+    code = _get("generated_code_size_in_bytes")
+    return {
+        "argument_gb": round(arg / gib, 3),
+        "output_gb": round(out / gib, 3),
+        "alias_gb": round(alias / gib, 3),
+        "temp_gb": round(temp / gib, 3),
+        "generated_code_gb": round(code / gib, 3),
+        # aliased output bytes live in the argument buffers already
+        "total_gb": round((arg + out - alias + temp + code) / gib, 3),
+    }
+
+
+def static_memory_of(fn: Callable, *args, **kwargs) -> Dict[str, float]:
+    """memory_analysis of ``jit(fn)`` lowered on example args."""
+    return memory_analysis(jax.jit(fn).lower(*args, **kwargs).compile())
+
+
 def parameter_count(params: Any) -> int:
     return sum(int(np.prod(x.shape))
                for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,164 @@
+"""Flagship-DECODER-scale training proxy on the real chip (VERDICT r4 #6).
+
+Every prior training-convergence evidence ran the shrunken decoder
+(16 queries, 1 fusion iteration, tests/test_e2e.py:small_model_config).
+This probe trains the PRODUCTION decoder configuration - 400 queries,
+i_iter=4, flagship head depth (3 layers/branch), flagship dropout,
+querent resolution [20, 20, 1] (reference config/kradar.json:151-153) -
+on the synthetic fixture through the REAL trainer (embedded-matcher
+monolith step, the production default), so the 400-query Hungarian cost
+geometry, the 4-iteration reference-point feedback, and the per-iteration
+heads are exercised under TRAINING, not just the forward benches.
+
+Backbones stay ResNet18 (the decoder scale is the untested axis; flagship
+ResNet101/50 trunks are already covered by the train-cell benches).
+
+Pass/fail: finite loss history, final loss < 0.5x initial, and a nonzero
+mAP3D proxy on the training batch. Writes FLAGSHIP_DECODER_TRAIN_r05.json.
+
+Usage:  python scripts/probe_flagship_decoder_train.py [out.json]
+Env:    PROBE_EPOCHS (default 120), PROBE_DROPOUT (default 0.1 flagship),
+        PROBE_LR (default 3e-3). Compile note: the 400-query monolith at
+        fixture shapes is a fresh program (~10-20 min on the remote
+        compiler, then persistent-cached).
+"""
+
+import glob
+import json
+import os
+import os.path as osp
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, osp.join(ROOT, "tests"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kradar_fixture import SEQ, base_config, make_raw_kradar
+    from test_e2e import small_model_config
+
+    from dpft_tpu.data import init as init_dataset
+    from dpft_tpu.data import load as load_dataset
+    from dpft_tpu.data import prepare as prepare_dataset
+    from dpft_tpu.evaluation.metric import build_metric
+    from dpft_tpu.models import build as build_model
+    from dpft_tpu.training.trainer import build_trainer
+    from dpft_tpu.utils.misc import set_seed
+    from dpft_tpu.utils.profiling import \
+        enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    epochs = int(os.environ.get("PROBE_EPOCHS", "120"))
+    dropout = float(os.environ.get("PROBE_DROPOUT", "0.1"))
+    lr = float(os.environ.get("PROBE_LR", "3e-3"))
+    out_path = sys.argv[1] if len(sys.argv) > 1 else osp.join(
+        ROOT, "FLAGSHIP_DECODER_TRAIN_r05.json")
+
+    root = tempfile.mkdtemp(prefix="flagship_decoder_")
+    src = make_raw_kradar(root)
+    # Two large in-FoV boxes per frame (the processor doubles l/w/h).
+    for path in glob.glob(osp.join(src, SEQ, "info_label_v2", "*.txt")):
+        with open(path) as f:
+            header = f.readline()
+        with open(path, "w") as f:
+            f.write(header)
+            f.write("*, 0, Sedan, 20.0, 1.0, 0.5, 0.0, 3.0, 2.0, 1.0\n")
+            f.write("*, 1, Sedan, 45.0, -2.0, 0.2, 5.0, 3.0, 2.0, 1.0\n")
+
+    config = small_model_config(base_config())
+    # --- Promote the decoder to FLAGSHIP scale (config/kradar.json).
+    config["model"]["fuser"]["n_queries"] = 400
+    config["model"]["fuser"]["i_iter"] = 4
+    config["model"]["fuser"]["dropout"] = dropout
+    config["model"]["head"]["num_reg_layers"] = 3
+    config["model"]["head"]["num_cls_layers"] = 3
+    config["model"]["querent"]["resolution"] = [20, 20, 1]
+
+    config["train"]["epochs"] = epochs
+    config["train"]["optimizer"]["lr"] = lr
+    config["train"]["loss_weights"] = {
+        "total_class": 2.0, "object_class": 1.0,
+        "center": 1.0, "size": 1.0, "angle": 1.0}
+    config["train"]["evaluating"] = -1  # metrics once, below
+
+    processed = osp.join(root, "processed")
+    prepare_dataset("kradar", config).prepare(src, processed)
+    rng = set_seed(config["computing"]["seed"])
+
+    train_ds = init_dataset("kradar", src=processed, split="train",
+                            config=config)
+    train_loader = load_dataset(train_ds, config=config)
+    model = build_model("dprt", config)
+    trainer = build_trainer(config)
+
+    print(f"training: {epochs} epochs, 400 queries, i_iter=4, "
+          f"dropout={dropout}, lr={lr}, backend="
+          f"{jax.default_backend()}", flush=True)
+    t0 = time.time()
+    out = trainer(model, train_loader, timestamp="flagship_decoder",
+                  dst=osp.join(root, "log"), rng=rng)
+    train_wall = time.time() - t0
+
+    history = [float(h) for h in out["history"]]
+    finite = all(np.isfinite(history))
+    decreased = history[-1] < 0.5 * history[0]
+
+    # mAP3D proxy on the training batch (overfit => nonzero overlap).
+    state = out["state"]
+    batch, targets = next(iter(load_dataset(train_ds, config=config,
+                                            shuffle=False)))
+    jb = jax.tree_util.tree_map(jnp.asarray, batch)
+    jt = jax.tree_util.tree_map(jnp.asarray, targets)
+    variables = {"params": state["params"]}
+    if "batch_stats" in state:
+        variables["batch_stats"] = state["batch_stats"]
+    pred = model.apply(variables, jb, train=False)
+    metric = build_metric(config.get("evaluate", {}))
+    scores = {k: float(v) for k, v in metric(pred, jt).items()}
+
+    # Matcher sanity at 400 queries: matched-query center error vs GT.
+    from dpft_tpu.training.loss import build_loss
+    loss_fn = build_loss(config["train"])
+    qi, gj = (np.asarray(a) for a in loss_fn.match(pred, jt))
+    center = np.asarray(pred["center"])
+    errs = []
+    for b in range(center.shape[0]):
+        n_real = int(np.asarray(targets["gt_mask"][b]).sum())
+        gt_c = np.asarray(targets["gt_center"][b])
+        for k in range(n_real):
+            errs.append(float(np.linalg.norm(
+                center[b, int(qi[b, k])] - gt_c[int(gj[b, k])])))
+    match_err = float(np.median(errs)) if errs else None
+
+    result = {
+        "probe": "flagship_decoder_train",
+        "n_queries": 400, "i_iter": 4, "dropout": dropout, "lr": lr,
+        "epochs": epochs, "backend": jax.default_backend(),
+        "train_wall_sec": round(train_wall, 1),
+        "loss_first": round(history[0], 4),
+        "loss_last": round(history[-1], 4),
+        "finite": finite, "decreased": decreased,
+        "metrics": scores,
+        "matched_center_err_median_m": (round(match_err, 3)
+                                        if match_err is not None else None),
+        "ok": bool(finite and decreased and scores.get("mAP", 0) > 0),
+    }
+    print(json.dumps(result), flush=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+    if not result["ok"]:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
