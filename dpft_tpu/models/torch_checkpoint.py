@@ -262,12 +262,15 @@ def _convert_reduction(sub: Dict[str, np.ndarray], params: Dict[str, Any],
     if reduction == "linear":
         _put_linear(params, path + ("reduction",), sub, "reduction_layer")
     elif reduction == "unary":
+        # The flax fuser realizes the Unary1d (1x1 Conv1d) reduction as a
+        # Dense named 'reduction' - mathematically identical on
+        # channel-last data (fusers/mpfusion.py:172-176).
         w = sub.pop("reduction_layer.conv1d.weight")  # (out, in, 1)
-        _put(params, path + ("reduction", "conv1d", "kernel"),
-             np.transpose(w, (2, 1, 0)))
+        _put(params, path + ("reduction", "kernel"),
+             _linear_kernel(w[..., 0]))
         bias = sub.pop("reduction_layer.conv1d.bias", None)
         if bias is not None:
-            _put(params, path + ("reduction", "conv1d", "bias"), bias)
+            _put(params, path + ("reduction", "bias"), bias)
     elif reduction == "cross-attn":
         _convert_mha(sub, params, path + ("reduction",), "reduction_layer",
                      where)

@@ -187,21 +187,52 @@ class TorchMLFusion(nn.Module):
         return out
 
 
+class TorchUnary1d(nn.Module):
+    """Reference Unary1d (layers/unary.py:8-58): 1x1 Conv1d on
+    channel-last data, registered under the ``conv1d`` attribute."""
+
+    def __init__(self, in_channels, out_channels, bias=True):
+        super().__init__()
+        self.conv1d = nn.Conv1d(in_channels, out_channels, 1, bias=bias)
+
+    def forward(self, x):  # (B, N, C) channel-last
+        return self.conv1d(x.transpose(1, 2)).transpose(1, 2)
+
+
 class TorchMPFusion(nn.Module):
-    """Reference MPFusion (mpfusion.py:266-514), 'linear' reduction."""
+    """Reference MPFusion (mpfusion.py:266-514), all six reductions."""
 
     def __init__(self, m_views, d_model, d_ffn, n_levels, n_heads, n_points,
-                 activation="Mish", norm=True):
+                 activation="Mish", norm=True, reduction="linear"):
         super().__init__()
         self.m_views, self.d_model = m_views, d_model
+        self.reduction, self.use_norm = reduction, norm
         self.ml_fusion_layers = nn.ModuleDict({
             f"ms_deform_attn{v}": TorchMLFusion(
                 d_model, d_ffn, n_levels[v], n_heads[v], n_points[v],
                 activation, norm)
             for v in range(m_views)
         })
-        self.reduction_layer = nn.Linear(m_views * d_model, d_model,
-                                         bias=False)
+        cv = m_views * d_model
+        if reduction == "linear":
+            self.reduction_layer = nn.Linear(cv, d_model, bias=False)
+        elif reduction == "unary":
+            self.reduction_layer = TorchUnary1d(cv, d_model, bias=False)
+        elif reduction == "cross-attn":
+            self.reduction_layer = nn.MultiheadAttention(
+                d_model, min(n_heads), kdim=cv, vdim=cv, batch_first=True)
+        elif reduction == "ffn":
+            self.reduction_layer = nn.ModuleDict({
+                "ffn1": nn.Linear(cv, cv),
+                "activation1": getattr(nn, activation)(),
+                "ffn2": nn.Linear(cv, d_model),
+                "downsample1": nn.Linear(cv, d_model),
+                "norm1": nn.LayerNorm(d_model),
+            })
+        elif reduction in ("mean", "max"):
+            self.reduction_layer = None
+        else:
+            raise ValueError(reduction)
 
     def forward(self, query, batch, reference_points, query_pos):
         views = [
@@ -210,8 +241,22 @@ class TorchMPFusion(nn.Module):
         ]
         stacked = torch.stack(views, dim=-1)  # (B, N, C, V)
         B, N = query.shape[:2]
-        return self.reduction_layer(
-            stacked.reshape(B, N, self.d_model * self.m_views))
+        flat = stacked.reshape(B, N, self.d_model * self.m_views)
+        if self.reduction == "mean":
+            return stacked.mean(-1)
+        if self.reduction == "max":
+            return stacked.max(-1).values
+        if self.reduction in ("linear", "unary"):
+            return self.reduction_layer(flat)
+        if self.reduction == "cross-attn":
+            return self.reduction_layer(query + query_pos, flat, flat,
+                                        need_weights=False)[0]
+        r = self.reduction_layer  # 'ffn' (reference mpfusion.py:450-470)
+        out = r["ffn2"](r["activation1"](r["ffn1"](flat)))
+        out = r["downsample1"](flat) + out
+        if self.use_norm:
+            out = r["norm1"](out)
+        return out
 
 
 class TorchLinearDetectionHead(nn.Module):
@@ -248,17 +293,53 @@ class TorchLinearDetectionHead(nn.Module):
         return out
 
 
+class TorchUnaryDetectionHead(nn.Module):
+    """Reference UnaryDetectionHead (detection.py:13-146): Unary1d
+    branches; quirk: the class branch is sized with num_reg_layers
+    (detection.py:86)."""
+
+    def __init__(self, in_channels, num_classes, num_reg_layers=2,
+                 num_cls_layers=2, bias=False, dropout=0.0):
+        super().__init__()
+
+        def branch(out_channels, n_layers):
+            seq = []
+            for _ in range(n_layers - 1):
+                seq += [TorchUnary1d(in_channels, in_channels, bias=bias),
+                        nn.ReLU(), nn.Dropout(dropout)]
+            seq.append(TorchUnary1d(in_channels, out_channels, bias=bias))
+            return nn.Sequential(*seq)
+
+        self.layers = nn.ModuleDict({
+            "center_head": branch(3, num_reg_layers),
+            "size_head": branch(3, num_reg_layers),
+            "angle_head": branch(2, num_reg_layers),
+            "class_head": branch(num_classes, num_reg_layers),  # quirk
+        })
+
+    def forward(self, batch, ref):
+        out = {
+            "class": self.layers["class_head"](batch),
+            "center": self.layers["center_head"](batch),
+            "size": F.relu(self.layers["size_head"](batch)),
+            "angle": torch.tanh(self.layers["angle_head"](batch)),
+        }
+        out["center"] = out["center"] + ref["center"][..., :3]
+        return out
+
+
 class TorchIMPFusion(nn.Module):
     """Reference IMPFusion (mpfusion.py:517-749)."""
 
     def __init__(self, i_iter, m_views, d_model, d_ffn, n_queries,
                  n_levels, n_heads, n_points, head, activation="Mish",
-                 norm=True):
+                 norm=True, reduction="linear"):
         super().__init__()
         self.i_iter = i_iter
         self.mpfusion = nn.ModuleDict({
             f"fusion{i}": TorchMPFusion(m_views, d_model, d_ffn, n_levels,
-                                        n_heads, n_points, activation, norm)
+                                        n_heads, n_points, activation, norm,
+                                        reduction)
             for i in range(i_iter)
         })
         self.heads = nn.ModuleList(
