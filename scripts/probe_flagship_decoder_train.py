@@ -63,6 +63,18 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else osp.join(
         ROOT, "FLAGSHIP_DECODER_TRAIN_r05.json")
 
+    # PRODUCTION raster shapes, not the tiny test fixture defaults: the
+    # default fixture's radar-front plane (6x10) degenerates to 1x1
+    # feature maps by layer4, and the first run of this probe crashed the
+    # remote TPU compiler on the resulting program (fusion_emitter
+    # SIGABRT, 'window_bounds == strides (4 vs 1)' on a backward-conv
+    # window). Flagship shapes are proven to compile (the train bench
+    # cells); they also make this proxy the full production program
+    # modulo the ResNet18 trunks.
+    import kradar_fixture as kf
+    kf.TESSERACT_SHAPE = (64, 256, 37, 107)
+    kf.IMG_H, kf.IMG_W = 720, 1280
+
     root = tempfile.mkdtemp(prefix="flagship_decoder_")
     src = make_raw_kradar(root)
     # Two large in-FoV boxes per frame (the processor doubles l/w/h).
@@ -75,6 +87,10 @@ def main():
             f.write("*, 1, Sedan, 45.0, -2.0, 0.2, 5.0, 3.0, 2.0, 1.0\n")
 
     config = small_model_config(base_config())
+    config["data"]["image_size"] = 512  # production camera resize
+    # Host-SIMD ETL: full-size tesseracts through the tunneled chip are
+    # upload-bound (~45 s/frame, BENCH_PREPARE_r04.jsonl).
+    config["computing"]["prepare_device"] = "native"
     # --- Promote the decoder to FLAGSHIP scale (config/kradar.json).
     config["model"]["fuser"]["n_queries"] = 400
     config["model"]["fuser"]["i_iter"] = 4
