@@ -104,6 +104,25 @@ def test_state_dict_checkpoint_accepted(saved_checkpoint, tmp_path):
     _assert_forward_parity(cfg, variables, batch_np, tout)
 
 
+def test_export_from_torch_checkpoint(saved_checkpoint, tmp_path):
+    """A reference .pt freezes into a StableHLO serving artifact whose
+    execution matches the torch forward (the full switch-over chain:
+    torch pickle -> flax variables -> jax.export -> deserialize/call)."""
+    from dpft_tpu import export as export_mod
+
+    cfg, path, batch_np, tout = saved_checkpoint
+    module, variables, _, _ = registry.load(path)
+    fbatch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    exported = export_mod.export_forward(module, variables, fbatch)
+    artifact = tmp_path / "model.stablehlo"
+    export_mod.save_exported(exported, str(artifact))
+    out = export_mod.load_exported(str(artifact)).call(fbatch)
+    for key in ("class", "center", "size", "angle"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), tout[key], rtol=1e-4, atol=2e-4,
+            err_msg=key)
+
+
 def test_unknown_key_raises(saved_checkpoint):
     """Strictness: nothing is dropped silently."""
     cfg, path, _, _ = saved_checkpoint
