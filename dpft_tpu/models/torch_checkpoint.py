@@ -179,10 +179,30 @@ def _put_linear(params, path: Tuple[str, ...], sub: Dict[str, np.ndarray],
 def _convert_backbone_group(sub: Dict[str, np.ndarray], family: str,
                             params: Dict[str, Any], stats: Dict[str, Any],
                             where: str) -> None:
+    """Maps one ``backbones.<input>.*`` group onto a flax backbone tree.
+
+    The reference wrapper's ``body`` strips part of the torchvision
+    module path (family-dependent): ResNet wraps the whole model (body
+    keys ARE torchvision keys, reference resnet.py:54-55), ConvNeXt/Swin
+    wrap ``backbone.features`` (convnext.py:54-55, swin.py:55), RegNet
+    keeps ``stem`` as its own attribute and wraps
+    ``backbone.trunk_output`` (regnet.py:53-55). Re-prefix accordingly
+    before the torchvision-key converters.
+    """
+    lname = family.lower()
+    if "convnext" in lname or "swin" in lname:
+        body_prefix = "features."
+    elif "regnet" in lname:
+        body_prefix = "trunk_output."
+    else:  # resnet: body keys are already torchvision-named
+        body_prefix = ""
+
     body = {}
     for key in list(sub):
         if key.startswith("body."):
-            body[key[len("body."):]] = sub.pop(key)
+            body[body_prefix + key[len("body."):]] = sub.pop(key)
+        elif "regnet" in lname and key.startswith("stem."):
+            body[key] = sub.pop(key)  # wrapper attr == torchvision name
     adj = sub.pop("adjustment_layer.weight", None)
     if sub:
         raise ValueError(f"{where}: unmapped keys {sorted(sub)}")

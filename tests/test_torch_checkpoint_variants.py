@@ -24,6 +24,7 @@ from dpft_tpu.models.queries import build_querent
 from dpft_tpu.models.torch_checkpoint import convert_full_model
 
 import torch_dprt
+import torch_refs
 
 D_MODEL = 8
 N_HEADS = 2
@@ -129,6 +130,90 @@ def test_reduction_roundtrip(reduction):
 def test_unary_head_roundtrip():
     """Unary1d branch keys (layers.*.N.conv1d.weight) -> Dense kernels."""
     _roundtrip("linear", unary_head=True)
+
+
+def _wrapper_state(tm, family, adj_weight=None):
+    """The reference Backbone wrapper's state_dict key space: ResNet
+    wraps the whole torchvision model as ``body`` (resnet.py:54-55),
+    ConvNeXt/Swin wrap ``backbone.features`` (convnext.py:54-55,
+    swin.py:55), RegNet keeps ``stem`` and wraps ``trunk_output``
+    (regnet.py:53-55); classifier-side keys never enter the wrapper."""
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    lf = family.lower()
+    out = {}
+    for k, v in sd.items():
+        if "resnet" in lf:
+            if k.startswith("fc."):
+                continue
+            out["body." + k] = v
+        elif "convnext" in lf:
+            if k.startswith("classifier."):
+                continue
+            out["body." + k[len("features."):]] = v
+        elif "swin" in lf:
+            if k.startswith(("head.", "norm.")):
+                continue
+            out["body." + k[len("features."):]] = v
+        else:  # regnet
+            if k.startswith("fc."):
+                continue
+            if k.startswith("stem."):
+                out[k] = v
+            else:
+                out["body." + k[len("trunk_output."):]] = v
+    if adj_weight is not None:
+        out["adjustment_layer.weight"] = adj_weight
+    return out
+
+
+@pytest.mark.parametrize("family,builder,in_ch", [
+    ("ResNet34", lambda: torch_refs.TorchResNet("resnet34"), 6),
+    ("ConvNeXt_Tiny", lambda: torch_refs.TorchConvNeXt("convnext_tiny"), 3),
+    ("Swin_T", lambda: torch_refs.TorchSwin("swin_t"), 3),
+    ("RegNet_Y_400MF", lambda: torch_refs.TorchRegNet("regnet_y_400mf"), 3),
+])
+def test_backbone_wrapper_roundtrip(family, builder, in_ch):
+    """Full-model-import backbone groups for every family: the wrapper's
+    body-prefix stripping (family-dependent) must be undone before the
+    torchvision-key converters, pinned by forward equality per stage."""
+    import torch.nn.functional as F
+
+    from dpft_tpu.models.backbones import build_backbone
+
+    torch.manual_seed(0)
+    tm = builder().eval()
+    torch_refs.randomize_bn_stats(tm)
+    gen = torch.Generator().manual_seed(2)
+    adj = (torch.randn(3, in_ch, 1, 1, generator=gen) * 0.3
+           if in_ch != 3 else None)
+    x = torch.randn(1, in_ch, 64, 64, generator=gen)
+    with torch.no_grad():
+        x3 = F.conv2d(x, adj) if adj is not None else x
+        touts = tm(x3)
+
+    state = {f"backbones.cam.{k}": v
+             for k, v in _wrapper_state(
+                 tm, family,
+                 adj.numpy() if adj is not None else None).items()}
+    config = {"model": {"backbones": {
+        "cam": {"name": family, "in_channels": in_ch, "multi_scale": 4}}}}
+    variables = convert_full_model(state, config)
+
+    fm = build_backbone(family, {"in_channels": in_ch, "multi_scale": 4})
+    fvars = {"params": variables["params"]["backbones_cam"]}
+    if "backbones_cam" in variables.get("batch_stats", {}):
+        fvars["batch_stats"] = variables["batch_stats"]["backbones_cam"]
+    xin = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    fouts = fm.apply(fvars, xin, train=False)
+
+    channel_last = "swin" in family.lower()
+    for i, t in enumerate(touts):
+        t = t.detach().numpy()
+        if not channel_last:
+            t = np.transpose(t, (0, 2, 3, 1))
+        np.testing.assert_allclose(
+            np.asarray(fouts[str(i + 1)]), t, rtol=1e-4, atol=1e-4,
+            err_msg=f"{family} stage {i + 1}")
 
 
 def test_learnable_querent_roundtrip():
