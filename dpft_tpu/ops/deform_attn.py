@@ -214,7 +214,13 @@ def _sample_level_gather(val, h, w, x, y):
         inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
         g = jnp.take_along_axis(val, flat[..., None], axis=1)
-        sampled = sampled + g * (wgt * inside)[..., None]
+        # Coordinate math stays float32 (positions up to 910 would lose
+        # their fractions in bf16); only the FINAL [0,1] corner weight is
+        # cast to the compute dtype, else it silently promotes the whole
+        # sample chain to f32 (2x the HBM bytes at the big camera level —
+        # HLO census 2026-08-20; mixed-precision policy: matmuls/
+        # attention in compute dtype, f32 where precision matters).
+        sampled = sampled + g * (wgt * inside)[..., None].astype(val.dtype)
     return sampled
 
 
@@ -227,10 +233,16 @@ def _sample_level_matmul(val, h, w, x, y):
     scatter in the backward. val: (BH, h, w*D); returns (BH, S, D).
     """
     D = val.shape[-1] // w
+    # |y - i| must be computed in float32 (positions up to ~900 lose
+    # their fractional part in bf16), but the resulting [0, 1] weights
+    # are cast to the compute dtype: a float32 Ay would promote both
+    # einsums to the f32 MXU path and double the (BH, S, w*D) tmp's HBM
+    # bytes (23.3 -> 11.7 MB per camera-level call, HLO census
+    # 2026-08-20). No-op in full-f32 mode.
     ay = jax.nn.relu(1.0 - jnp.abs(
-        y[..., None] - jnp.arange(h, dtype=y.dtype)))   # (BH, S, h)
+        y[..., None] - jnp.arange(h, dtype=y.dtype))).astype(val.dtype)
     ax = jax.nn.relu(1.0 - jnp.abs(
-        x[..., None] - jnp.arange(w, dtype=x.dtype)))   # (BH, S, w)
+        x[..., None] - jnp.arange(w, dtype=x.dtype))).astype(val.dtype)
     tmp = jnp.einsum("bsh,bhw->bsw", ay, val,
                      preferred_element_type=val.dtype)
     tmp = tmp.reshape(tmp.shape[0], tmp.shape[1], w, D)
